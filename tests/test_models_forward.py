@@ -1,0 +1,100 @@
+"""End-to-end forward-pass shape/validity tests for both model families."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from trajsde_tpu.data.synthetic import make_scene_batch
+from trajsde_tpu.models.aggregator import GlobalInteractor
+from trajsde_tpu.models.decoders import MLPDecoder, SDEDecoder
+from trajsde_tpu.models.local_encoder import LocalEncoder
+from trajsde_tpu.models.prediction import PredictionModel, PredictionModelSDENet
+from trajsde_tpu.models.sde_encoder import LocalEncoderSDESep
+
+B, A, L, TH, TF, D, K = 2, 8, 12, 21, 60, 64, 10
+
+
+def _scene(rng):
+    return make_scene_batch(rng, batch_size=B, num_actors=A, num_lanes=L, sources=[0, 1])
+
+
+def make_baseline():
+    return PredictionModel(
+        encoder=LocalEncoder(historical_steps=TH, embed_dim=D, num_heads=4),
+        aggregator=GlobalInteractor(
+            historical_steps=TH, embed_dim=D, num_modes=K, num_heads=4
+        ),
+        decoder=MLPDecoder(
+            local_channels=D, global_channels=D, future_steps=TF, num_modes=K
+        ),
+    )
+
+
+def make_sde():
+    return PredictionModelSDENet(
+        encoder=LocalEncoderSDESep(historical_steps=TH, embed_dim=D, num_heads=8),
+        aggregator=GlobalInteractor(
+            historical_steps=TH, embed_dim=D, num_modes=K, num_heads=8
+        ),
+        decoder=SDEDecoder(
+            local_channels=D, global_channels=D, future_steps=TF, num_modes=K
+        ),
+    )
+
+
+def test_baseline_forward(rng):
+    scene = _scene(rng)
+    model = make_baseline()
+    params = jax.jit(model.init)(jax.random.key(0), scene)
+    out = jax.jit(model.apply)(params, scene)
+    assert out["loc"].shape == (B, K, A, TF, 4)
+    assert out["pi"].shape == (B, A, K)
+    assert out["reg_mask"].shape == (B, A, TF)
+    assert out["y"].shape == (B, A, TF, 2)
+    assert np.all(np.isfinite(out["loc"]))
+    # scale channel is elu+1+min_scale > 0
+    assert np.all(np.asarray(out["loc"][..., 2:]) > 0)
+
+
+def test_sde_forward(rng):
+    scene = _scene(rng)
+    model = make_sde()
+    rngs = {"params": jax.random.key(0), "sde": jax.random.key(1)}
+    params = jax.jit(model.init)(rngs, scene)
+    out = jax.jit(lambda p, s, k: model.apply(p, s, rngs={"sde": k}))(
+        params, scene, jax.random.key(2)
+    )
+    assert out["loc"].shape == (B, K, A, TF, 4)
+    assert out["diff_in"].shape == (B,)
+    assert out["diff_out"].shape == (B,)
+    assert np.all((np.asarray(out["diff_in"]) > 0) & (np.asarray(out["diff_in"]) < 1))
+    assert np.all(np.isfinite(out["loc"]))
+    assert np.asarray(out["label_in"]).sum() == 0
+    assert np.asarray(out["label_out"]).sum() == B
+
+
+def test_sde_forward_ood(rng):
+    scene = _scene(rng)
+    model = make_sde()
+    rngs = {"params": jax.random.key(0), "sde": jax.random.key(1)}
+    params = jax.jit(model.init)(rngs, scene)
+    out = jax.jit(lambda p, s, k: model.apply(p, s, ood=True, rngs={"sde": k}))(
+        params, scene, jax.random.key(2)
+    )
+    assert out["stds"].shape == (B, A)
+    assert np.all(np.asarray(out["stds"]) >= 0)
+
+
+def test_sde_paths_reproducible(rng):
+    """Same sde rng → identical Brownian paths (capability the reference lacks)."""
+    scene = _scene(rng)
+    model = make_sde()
+    params = jax.jit(model.init)(
+        {"params": jax.random.key(0), "sde": jax.random.key(1)}, scene
+    )
+    fwd = jax.jit(lambda p, s, k: model.apply(p, s, rngs={"sde": k}))
+    out1 = fwd(params, scene, jax.random.key(7))
+    out2 = fwd(params, scene, jax.random.key(7))
+    np.testing.assert_array_equal(np.asarray(out1["loc"]), np.asarray(out2["loc"]))
+    out3 = fwd(params, scene, jax.random.key(8))
+    assert not np.allclose(np.asarray(out1["loc"]), np.asarray(out3["loc"]))

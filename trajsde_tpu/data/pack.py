@@ -1,0 +1,120 @@
+"""Packing ragged scenes into dense ``SceneBatch``es (host-side hot loop).
+
+This is the memcpy-heavy boundary between the ragged per-scene world and
+the static-shape device world — the TPU-native equivalent of the
+reference's 32 PyG collate workers (``Datamodule_nuargo_mix.py:33-44``).
+A C++ packer (:mod:`trajsde_tpu.runtime`) accelerates the inner copy loop
+when its shared library is built; this module provides the reference
+numpy implementation and the truncation/bucketing policy.
+
+Truncation policy when a scene exceeds the padded capacity: actors are
+kept by distance to the focal agent at the reference step (agent and AV
+always kept); lanes by distance of their first pose to the agent.
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Sequence
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from trajsde_tpu.data.grid import REF_TIME, TF, TH
+from trajsde_tpu.data.scene import SceneBatch
+
+ACTOR_BUCKETS = (8, 16, 32, 48, 64, 96, 128)
+LANE_BUCKETS = (32, 64, 128, 192, 256, 384, 512)
+
+
+def pick_bucket(n: int, buckets: Sequence[int]) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    return buckets[-1]
+
+
+def _actor_keep_order(scene: Dict[str, np.ndarray]) -> np.ndarray:
+    n = scene["x"].shape[0]
+    agent = int(scene["agent_index"])
+    av = int(scene["av_index"])
+    ref_pos = scene["positions"][:, REF_TIME]
+    d = np.linalg.norm(ref_pos - ref_pos[agent], axis=-1)
+    d[agent] = -np.inf
+    d[av] = -np.inf if av != agent else d[av]
+    return np.argsort(d, kind="stable")
+
+
+def _lane_keep_order(scene: Dict[str, np.ndarray]) -> np.ndarray:
+    agent = int(scene["agent_index"])
+    ref_pos = scene["positions"][agent, REF_TIME]
+    d = np.linalg.norm(scene["lane_positions"][:, 0] - ref_pos, axis=-1)
+    return np.argsort(d, kind="stable")
+
+
+def pack_scenes(
+    scenes: List[Dict[str, np.ndarray]],
+    num_actors: int,
+    num_lanes: int,
+    lane_poses: int = 10,
+    as_jax: bool = True,
+) -> SceneBatch:
+    """Pad/truncate grid-aligned scene dicts into one dense batch."""
+    B, A, L, S = len(scenes), num_actors, num_lanes, lane_poses
+    T = TH + TF
+
+    x = np.zeros((B, A, TH, 2), np.float32)
+    y = np.zeros((B, A, TF, 2), np.float32)
+    positions = np.zeros((B, A, T, 2), np.float32)
+    padding = np.ones((B, A, T), bool)
+    bos = np.zeros((B, A, TH), bool)
+    angles = np.zeros((B, A), np.float32)
+    actor_valid = np.zeros((B, A), bool)
+    agent_index = np.zeros((B,), np.int32)
+    av_index = np.zeros((B,), np.int32)
+    source = np.zeros((B,), np.int32)
+    lane_positions = np.zeros((B, L, S, 2), np.float32)
+    lane_paddings = np.ones((B, L, S), bool)
+    lane_valid = np.zeros((B, L), bool)
+    has_y = any(s.get("y") is not None for s in scenes)
+
+    for b, scene in enumerate(scenes):
+        order = _actor_keep_order(scene)[:A]
+        n = order.shape[0]
+        inv = {int(o): i for i, o in enumerate(order)}
+        x[b, :n] = scene["x"][order]
+        if scene.get("y") is not None:
+            y[b, :n] = scene["y"][order]
+        positions[b, :n] = scene["positions"][order]
+        padding[b, :n] = scene["padding_mask"][order]
+        bos[b, :n] = scene["bos_mask"][order]
+        angles[b, :n] = scene["rotate_angles"][order]
+        actor_valid[b, :n] = True
+        agent_index[b] = inv[int(scene["agent_index"])]
+        av_index[b] = inv.get(int(scene["av_index"]), 0)
+        source[b] = int(scene["source"])
+
+        lorder = _lane_keep_order(scene)[:L]
+        m = lorder.shape[0]
+        lp = scene["lane_positions"][lorder]
+        lpad = scene["lane_paddings"][lorder].astype(bool)
+        s_in = min(S, lp.shape[1])
+        lane_positions[b, :m, :s_in] = lp[:, :s_in]
+        lane_paddings[b, :m, :s_in] = lpad[:, :s_in]
+        lane_valid[b, :m] = ~lpad.all(-1)
+
+    conv = jnp.asarray if as_jax else (lambda a: a)
+    return SceneBatch(
+        x=conv(x),
+        y=conv(y) if has_y else None,
+        positions=conv(positions),
+        padding_mask=conv(padding),
+        bos_mask=conv(bos),
+        rotate_angles=conv(angles),
+        actor_valid=conv(actor_valid),
+        agent_index=conv(agent_index),
+        av_index=conv(av_index),
+        source=conv(source),
+        lane_positions=conv(lane_positions),
+        lane_paddings=conv(lane_paddings),
+        lane_valid=conv(lane_valid),
+    )

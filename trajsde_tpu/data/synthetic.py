@@ -1,0 +1,140 @@
+"""Synthetic scene generation for tests and benchmarks.
+
+Produces ``SceneBatch``es with the exact invariants the real pipeline
+emits after temporal-grid alignment (``dataset/nuScenes_Argoverse/
+nuScenes_Argoverse.py:87-196``):
+
+* the shared 21-past / 60-future slot grid at 10 Hz; nuScenes scenes
+  (source 0) occupy every 5th past slot and every 5th future slot,
+  Argoverse scenes (source 1) occupy past slots 1-20 and future slots 0-29;
+* ``x`` = displacement features relative to the reference step, zeroed at
+  padded slots, with the ÷5 nuScenes coordinate scaling applied to ``x``
+  only; ``y`` = absolute future offsets from the reference position
+  (``is_gtabs`` mode), unscaled;
+* ``bos_mask`` True at each actor's first valid historical slot;
+* constant-velocity-plus-noise kinematics, lanes as 1 m-resampled
+  polylines chunked into ≤10-pose segments.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from trajsde_tpu.data.scene import SceneBatch
+
+TH, TF = 21, 60
+REF_TIME = 20
+NUS_SCALE = 5.0
+
+
+def grid_masks(source: int) -> tuple:
+    """(past_slots [21] bool, fut_slots [60] bool) for a domain.
+
+    Matches ``nuScenes_Argoverse.py:91-103``.
+    """
+    past = np.zeros(TH, dtype=bool)
+    fut = np.zeros(TF, dtype=bool)
+    if source == 0:  # nuScenes, 2 Hz
+        past[::5] = True                 # ts −20..0 step 5 → slots 0,5,10,15,20
+        fut[4::5] = True                 # ts 5,10,...,60 → slots 4,9,...,59
+    else:  # Argoverse, 10 Hz
+        past[1:] = True                  # ts −19..0 → slots 1..20
+        fut[:30] = True                  # ts 1..30 → slots 0..29
+    return past, fut
+
+
+def make_scene_batch(
+    rng: np.random.Generator,
+    batch_size: int = 4,
+    num_actors: int = 16,
+    num_lanes: int = 32,
+    lane_poses: int = 10,
+    sources=None,
+) -> SceneBatch:
+    B, A, L, S = batch_size, num_actors, num_lanes, lane_poses
+    T = TH + TF
+
+    x = np.zeros((B, A, TH, 2), np.float32)
+    y = np.zeros((B, A, TF, 2), np.float32)
+    positions = np.zeros((B, A, T, 2), np.float32)
+    padding = np.ones((B, A, T), bool)
+    bos = np.zeros((B, A, TH), bool)
+    angles = np.zeros((B, A), np.float32)
+    actor_valid = np.zeros((B, A), bool)
+    source = np.zeros((B,), np.int32)
+    agent_index = np.zeros((B,), np.int32)
+
+    lane_positions = np.zeros((B, L, S, 2), np.float32)
+    lane_paddings = np.ones((B, L, S), bool)
+    lane_valid = np.zeros((B, L), bool)
+
+    for b in range(B):
+        src = int(rng.integers(0, 2)) if sources is None else int(sources[b % len(sources)])
+        source[b] = src
+        past_slots, fut_slots = grid_masks(src)
+        slot_mask = np.concatenate([past_slots, fut_slots])
+
+        n_act = int(rng.integers(2, A + 1))
+        actor_valid[b, :n_act] = True
+        for a in range(n_act):
+            p0 = rng.uniform(-40, 40, size=2).astype(np.float32)
+            vel = rng.uniform(-8, 8, size=2).astype(np.float32)
+            heading = np.arctan2(vel[1], vel[0]).astype(np.float32)
+            t_axis = (np.arange(T) - REF_TIME) / 10.0
+            traj = p0[None] + vel[None] * t_axis[:, None]
+            traj += rng.normal(0, 0.05, size=traj.shape)
+            positions[b, a] = traj.astype(np.float32)
+            angles[b, a] = heading
+
+            # appearance window: a random first-valid historical slot
+            first_slot_choices = np.nonzero(past_slots)[0]
+            start = int(rng.choice(first_slot_choices)) if a else 0
+            valid = slot_mask.copy()
+            valid[:start] = False
+            if not valid[REF_TIME]:  # unseen at ref ⇒ no future (reference rule)
+                valid[TH:] = False
+            if rng.uniform() < 0.2 and a != 0:
+                valid[TH:] = False  # some actors have no future labels
+            padding[b, a] = ~valid
+            positions[b, a][~valid] = 0.0
+
+            vp = valid[:TH]
+            if vp.any():
+                first = int(np.argmax(vp))
+                bos[b, a, first] = True
+            ref_pos = positions[b, a, REF_TIME]
+            x[b, a][vp] = positions[b, a, :TH][vp] - ref_pos
+            vf = valid[TH:]
+            y[b, a][vf] = positions[b, a, TH:][vf] - ref_pos
+        if src == 0:
+            x[b] /= NUS_SCALE
+
+        agent_index[b] = 0  # actor 0 is always fully valid above
+
+        n_lane = int(rng.integers(4, L + 1))
+        lane_valid[b, :n_lane] = True
+        for l in range(n_lane):
+            start = rng.uniform(-60, 60, size=2).astype(np.float32)
+            direction = rng.uniform(-np.pi, np.pi)
+            d = np.array([np.cos(direction), np.sin(direction)], np.float32)
+            n_pose = int(rng.integers(2, S + 1))
+            poses = start[None] + d[None] * np.arange(n_pose, dtype=np.float32)[:, None]
+            lane_positions[b, l, :n_pose] = poses
+            lane_paddings[b, l, :n_pose] = False
+
+    return SceneBatch(
+        x=jnp.asarray(x),
+        y=jnp.asarray(y),
+        positions=jnp.asarray(positions),
+        padding_mask=jnp.asarray(padding),
+        bos_mask=jnp.asarray(bos),
+        rotate_angles=jnp.asarray(angles),
+        actor_valid=jnp.asarray(actor_valid),
+        agent_index=jnp.asarray(agent_index),
+        av_index=jnp.asarray(np.zeros(B, np.int32)),
+        source=jnp.asarray(source),
+        lane_positions=jnp.asarray(lane_positions),
+        lane_paddings=jnp.asarray(lane_paddings),
+        lane_valid=jnp.asarray(lane_valid),
+    )

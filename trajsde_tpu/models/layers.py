@@ -1,0 +1,184 @@
+"""Shared attention / gating primitives for the dense HiVT-style blocks.
+
+The reference expresses attention as PyG ``MessagePassing`` with
+scatter-softmax over ragged incoming-edge sets.  Here the same math runs
+over fixed-shape dense adjacencies with boolean masks:
+
+* ``masked_softmax`` reproduces PyG ``softmax(alpha, index)`` semantics,
+  including the all-masked case (a node with zero incoming edges
+  aggregates to exactly 0, so the gated update reduces to the pure
+  self path — matching ``enc_hivt_nusargo_grid.py:196-201``).
+* ``EdgeAttention`` is the common pattern of AAEncoder / ALEncoder /
+  GlobalInteractorLayer: per-edge keys+values, per-head dot-product
+  logits, softmax over senders, sum-aggregate, GRU-style gated update
+  with the (normed) receiver embedding, output projection.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+XAVIER = nn.initializers.xavier_uniform()
+LN_EPS = 1e-5
+
+
+def masked_softmax(logits: jax.Array, mask: jax.Array, axis: int = -1) -> jax.Array:
+    """Softmax over ``axis`` restricted to ``mask``; all-masked rows → 0."""
+    big_neg = jnp.finfo(logits.dtype).min
+    masked_logits = jnp.where(mask, logits, big_neg)
+    m = jnp.max(masked_logits, axis=axis, keepdims=True)
+    e = jnp.exp(masked_logits - m) * mask.astype(logits.dtype)
+    s = jnp.sum(e, axis=axis, keepdims=True)
+    return e / jnp.maximum(s, jnp.asarray(1e-16, logits.dtype))
+
+
+class MlpBlock(nn.Module):
+    """Feed-forward block Dense(4D) → ReLU → Drop → Dense(D) → Drop."""
+
+    embed_dim: int
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        h = nn.Dense(self.embed_dim * 4, kernel_init=XAVIER)(x)
+        h = nn.relu(h)
+        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = nn.Dense(self.embed_dim, kernel_init=XAVIER)(h)
+        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        return h
+
+
+class EdgeAttention(nn.Module):
+    """Dense masked edge attention with HiVT's gated update.
+
+    Inputs:
+      center:    [..., Nq, D]   receiver embeddings (pre-normed by caller)
+      mask:      [..., Nq, Nk] bool adjacency (True = edge exists)
+      kv_pair:   [..., Nq, Nk, D] per-edge neighbor embeddings
+                 (AAEncoder / ALEncoder pattern — keys depend on the
+                 receiver's rotation frame, so they are intrinsically
+                 per-pair: ``enc_hivt_nusargo_grid.py:178-189``)
+      kv_node:   [..., Nk, D] per-node neighbor embeddings +
+      kv_edge:   [..., Nq, Nk, D] per-edge stream, projected separately and
+                 added (GlobalInteractorLayer: key = k_node + k_edge,
+                 value = v_node + v_edge, ``agg_hivt.py:108-117``)
+
+    Returns [..., Nq, D] — the post-gating, post-projection message block
+    (the caller applies residual + FFN).
+    """
+
+    embed_dim: int
+    num_heads: int
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(
+        self,
+        center: jax.Array,
+        mask: jax.Array,
+        kv_pair: Optional[jax.Array] = None,
+        kv_node: Optional[jax.Array] = None,
+        kv_edge: Optional[jax.Array] = None,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        D, H = self.embed_dim, self.num_heads
+        head_dim = D // H
+        scale = head_dim ** 0.5
+
+        q = nn.Dense(D, kernel_init=XAVIER, name="lin_q")(center)
+        if kv_pair is not None:
+            k = nn.Dense(D, kernel_init=XAVIER, name="lin_k")(kv_pair)
+            v = nn.Dense(D, kernel_init=XAVIER, name="lin_v")(kv_pair)
+        else:
+            # node-wise projections stay [..., Nk, D]; the per-edge stream is
+            # projected separately and broadcast-added over the query axis.
+            k = nn.Dense(D, kernel_init=XAVIER, name="lin_k")(kv_node)[..., None, :, :]
+            v = nn.Dense(D, kernel_init=XAVIER, name="lin_v")(kv_node)[..., None, :, :]
+            k = k + nn.Dense(D, kernel_init=XAVIER, name="lin_k_edge")(kv_edge)
+            v = v + nn.Dense(D, kernel_init=XAVIER, name="lin_v_edge")(kv_edge)
+
+        q = q.reshape(q.shape[:-1] + (H, head_dim))
+        k = k.reshape(k.shape[:-1] + (H, head_dim))
+        v = v.reshape(v.shape[:-1] + (H, head_dim))
+
+        # [..., Nq, Nk, H]: per-edge per-head dot product
+        alpha = jnp.einsum("...qhd,...qkhd->...qkh", q, k) / scale
+        alpha = masked_softmax(alpha, mask[..., None], axis=-2)
+        alpha = nn.Dropout(self.dropout)(alpha, deterministic=deterministic)
+
+        agg = jnp.einsum("...qkh,...qkhd->...qhd", alpha, v)
+        agg = agg.reshape(agg.shape[:-2] + (D,))
+
+        gate = nn.sigmoid(
+            nn.Dense(D, kernel_init=XAVIER, name="lin_ih")(agg)
+            + nn.Dense(D, kernel_init=XAVIER, name="lin_hh")(center)
+        )
+        out = agg + gate * (nn.Dense(D, kernel_init=XAVIER, name="lin_self")(center) - agg)
+        out = nn.Dense(D, kernel_init=XAVIER, name="out_proj")(out)
+        out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
+        return out
+
+
+class MultiheadSelfAttention(nn.Module):
+    """Plain MHA over a sequence axis with an additive mask.
+
+    Equivalent of ``torch.nn.MultiheadAttention`` as used by the temporal
+    transformer (``enc_hivt_nusargo_grid.py:264,286``).
+    """
+
+    embed_dim: int
+    num_heads: int
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(
+        self, x: jax.Array, attn_mask: jax.Array, deterministic: bool = True
+    ) -> jax.Array:
+        D, H = self.embed_dim, self.num_heads
+        head_dim = D // H
+        qkv = nn.Dense(3 * D, kernel_init=XAVIER, name="in_proj")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(q.shape[:-1] + (H, head_dim))
+        k = k.reshape(k.shape[:-1] + (H, head_dim))
+        v = v.reshape(v.shape[:-1] + (H, head_dim))
+        logits = jnp.einsum("...qhd,...khd->...hqk", q, k) / (head_dim ** 0.5)
+        logits = logits + attn_mask  # additive mask, [..., q, k] broadcast over heads
+        w = jax.nn.softmax(logits, axis=-1)
+        w = nn.Dropout(self.dropout)(w, deterministic=deterministic)
+        out = jnp.einsum("...hqk,...khd->...qhd", w, v)
+        out = out.reshape(out.shape[:-2] + (D,))
+        return nn.Dense(D, kernel_init=XAVIER, name="out_proj")(out)
+
+
+class GRUUnit(nn.Module):
+    """Masked GRU cell fusing SDE state with per-step observations.
+
+    Reference: ``models/utils/ode_utils.py:111-152`` — update/reset/new-state
+    MLP gates (Dense → tanh → Dense [→ sigmoid]), with the mask gating the
+    carry: ``h_next = m * h_next + (1 - m) * h_cur``.  Reference init is
+    normal(0, 0.1) with zero bias (``init_network_weights``).
+    """
+
+    latent_dim: int
+    n_units: int
+
+    @nn.compact
+    def __call__(self, h_cur: jax.Array, x: jax.Array, mask: jax.Array) -> jax.Array:
+        init = nn.initializers.normal(stddev=0.1)
+
+        def gate_net(name: str, out_dim: int, inp: jax.Array) -> jax.Array:
+            h = nn.Dense(self.n_units, kernel_init=init, name=f"{name}_0")(inp)
+            h = nn.tanh(h)
+            return nn.Dense(out_dim, kernel_init=init, name=f"{name}_1")(h)
+
+        concat = jnp.concatenate([h_cur, x], axis=-1)
+        update = nn.sigmoid(gate_net("update_gate", self.latent_dim, concat))
+        reset = nn.sigmoid(gate_net("reset_gate", self.latent_dim, concat))
+        combined = jnp.concatenate([x, reset * h_cur], axis=-1)
+        new_state = gate_net("new_state", self.latent_dim, combined)
+        h_next = (1.0 - update) * new_state + update * h_cur
+        m = mask[..., None].astype(h_cur.dtype)
+        return m * h_next + (1.0 - m) * h_cur

@@ -1,0 +1,249 @@
+"""Vanilla HiVT local encoder, dense TPU formulation.
+
+Reference: ``models/encoders/enc_hivt_nusargo_grid.py`` — per-timestep
+agent-agent (AA) rotation-invariant attention, causal temporal transformer
+with a cls token, and agent-lane (AL) cross attention.  The reference
+batches 21 per-step ragged graphs into one PyG mega-graph; here the time
+axis is simply another batch dimension of a dense masked attention, so all
+21 steps run in one fused XLA program (the analog of ``parallel: true``).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from trajsde_tpu.data.scene import SceneBatch
+from trajsde_tpu.models import graph
+from trajsde_tpu.models.embedding import MultipleInputEmbedding, SingleInputEmbedding
+from trajsde_tpu.models.layers import (
+    LN_EPS,
+    XAVIER,
+    EdgeAttention,
+    MlpBlock,
+    MultiheadSelfAttention,
+)
+
+TOKEN_INIT = nn.initializers.normal(stddev=0.02)
+
+
+class AAEncoder(nn.Module):
+    """Per-step agent-agent attention (``enc_hivt_nusargo_grid.py:95-215``).
+
+    Operates on explicit query/key tensors so the SDE encoder can append
+    extra receive-only query rows (the perturbed agent twins,
+    ``enc_hivt_nusargo_sde_sep2.py:88-103``).
+
+    Shapes:
+      x_q      [B, Th, Aq, 2]  query displacement features per step
+      x_k      [B, Th, Ak, 2]  key features per step
+      rot_q    [B, Aq, 2, 2]   receiver rotation frames
+      bos_q    [B, Aq, Th]     begin-of-sequence mask for queries
+      mask     [B, Th, Aq, Ak] adjacency
+      edge_vec [B, Th, Aq, Ak, 2]  pos_k[j] − pos_q[i] per step
+    Returns [B, Th, Aq, D].
+    """
+
+    historical_steps: int
+    embed_dim: int
+    num_heads: int
+    dropout: float = 0.1
+    input_diff: bool = True  # bos-token substitution flag (cfg ``input_diff``)
+
+    @nn.compact
+    def __call__(
+        self,
+        x_q: jax.Array,
+        x_k: jax.Array,
+        rot_q: jax.Array,
+        bos_q: jax.Array,
+        mask: jax.Array,
+        edge_vec: jax.Array,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        D = self.embed_dim
+        bos_token = self.param(
+            "bos_token", TOKEN_INIT, (self.historical_steps, D)
+        )
+
+        # center embedding in each receiver's own frame (:146-156)
+        x_q_local = jnp.einsum("btaj,baji->btai", x_q, rot_q)
+        center = SingleInputEmbedding(D, name="center_embed")(x_q_local)
+        if self.input_diff:
+            center = jnp.where(
+                jnp.transpose(bos_q, (0, 2, 1))[..., None],
+                bos_token[None, :, None, :],
+                center,
+            )
+
+        # per-pair neighbor embedding, rotated into the RECEIVER frame (:178-186)
+        x_k_local = jnp.einsum("btkj,bqji->btqki", x_k, rot_q)
+        edge_local = jnp.einsum("btqkj,bqji->btqki", edge_vec, rot_q)
+        nbr = MultipleInputEmbedding(D, name="nbr_embed")([x_k_local, edge_local])
+
+        attn = EdgeAttention(D, self.num_heads, self.dropout, name="attn")
+        center = center + attn(
+            nn.LayerNorm(epsilon=LN_EPS, name="norm1")(center),
+            mask,
+            kv_pair=nbr,
+            deterministic=deterministic,
+        )
+        center = center + MlpBlock(D, self.dropout, name="mlp")(
+            nn.LayerNorm(epsilon=LN_EPS, name="norm2")(center),
+            deterministic=deterministic,
+        )
+        return center
+
+
+class TemporalEncoderLayer(nn.Module):
+    """Pre-LN transformer layer (``enc_hivt_nusargo_grid.py:257-291``)."""
+
+    embed_dim: int
+    num_heads: int
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(
+        self, x: jax.Array, attn_mask: jax.Array, deterministic: bool = True
+    ) -> jax.Array:
+        h = MultiheadSelfAttention(self.embed_dim, self.num_heads, self.dropout, name="self_attn")(
+            nn.LayerNorm(epsilon=LN_EPS, name="norm1")(x), attn_mask, deterministic
+        )
+        x = x + nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = MlpBlock(self.embed_dim, self.dropout, name="mlp")(
+            nn.LayerNorm(epsilon=LN_EPS, name="norm2")(x), deterministic
+        )
+        return x + h
+
+
+class TemporalEncoder(nn.Module):
+    """Causal temporal transformer with cls token (``:218-254``).
+
+    Input [B, A, Th, D] + padding [B, A, Th]; returns the cls output [B, A, D].
+    """
+
+    historical_steps: int
+    embed_dim: int
+    num_heads: int
+    num_layers: int = 4
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(
+        self, x: jax.Array, padding_mask: jax.Array, deterministic: bool = True
+    ) -> jax.Array:
+        T, D = self.historical_steps, self.embed_dim
+        padding_token = self.param("padding_token", TOKEN_INIT, (T, D))
+        cls_token = self.param("cls_token", TOKEN_INIT, (1, D))
+        pos_embed = self.param("pos_embed", TOKEN_INIT, (T + 1, D))
+
+        x = jnp.where(padding_mask[..., None], padding_token[None, None], x)
+        cls = jnp.broadcast_to(cls_token[None, None], x.shape[:2] + (1, D))
+        x = jnp.concatenate([x, cls], axis=2) + pos_embed[None, None]
+
+        # causal mask: position q attends to k ≤ q (cls is last ⇒ sees all)
+        neg = jnp.finfo(x.dtype).min
+        idx = jnp.arange(T + 1)
+        attn_mask = jnp.where(idx[None, :] <= idx[:, None], 0.0, neg)
+        # broadcast over heads: MultiheadSelfAttention adds mask to [..., h, q, k]
+        attn_mask = attn_mask[None, :, :]
+
+        for i in range(self.num_layers):
+            x = TemporalEncoderLayer(
+                D, self.num_heads, self.dropout, name=f"layer{i}"
+            )(x, attn_mask, deterministic)
+        x = nn.LayerNorm(epsilon=LN_EPS, name="norm")(x)
+        return x[:, :, -1, :]
+
+
+class ALEncoder(nn.Module):
+    """Lane→actor cross attention (``enc_hivt_nusargo_grid.py:294-398``).
+
+    x_actor [B, A, D], lane_feat [B, L, 2], al_vec [B, A, L, 2],
+    mask [B, A, L], rot [B, A, 2, 2] → [B, A, D].
+    """
+
+    embed_dim: int
+    num_heads: int
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(
+        self,
+        x_actor: jax.Array,
+        lane_feat: jax.Array,
+        al_vec: jax.Array,
+        mask: jax.Array,
+        rot: jax.Array,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        D = self.embed_dim
+        lane_local = jnp.einsum("blj,baji->bali", lane_feat, rot)
+        vec_local = jnp.einsum("balj,baji->bali", al_vec, rot)
+        lane_embed = MultipleInputEmbedding(D, name="lane_embed")([lane_local, vec_local])
+
+        attn = EdgeAttention(D, self.num_heads, self.dropout, name="attn")
+        x_actor = x_actor + attn(
+            nn.LayerNorm(epsilon=LN_EPS, name="norm1")(x_actor),
+            mask,
+            kv_pair=lane_embed,
+            deterministic=deterministic,
+        )
+        x_actor = x_actor + MlpBlock(D, self.dropout, name="mlp")(
+            nn.LayerNorm(epsilon=LN_EPS, name="norm2")(x_actor),
+            deterministic=deterministic,
+        )
+        return x_actor
+
+
+class LocalEncoder(nn.Module):
+    """Full vanilla local encoder (``enc_hivt_nusargo_grid.py:22-92``)."""
+
+    historical_steps: int
+    embed_dim: int
+    num_heads: int = 4
+    dropout: float = 0.1
+    num_temporal_layers: int = 4
+    local_radius: float = 50.0
+    input_diff: bool = True
+    node_dim: int = 2
+    edge_dim: int = 2
+    parallel: bool = True  # accepted for config parity; dense path is always "parallel"
+
+    @nn.compact
+    def __call__(self, scene: SceneBatch, deterministic: bool = True) -> jax.Array:
+        mask = graph.aa_masks(scene, self.local_radius)       # [B, Th, A, A]
+        edge_vec = graph.aa_edge_vectors(scene)               # pos_j − pos_i (receiver i)
+        x_t = jnp.transpose(scene.x, (0, 2, 1, 3))            # [B, Th, A, 2]
+        rot = scene.rotate_mat()
+
+        aa_out = AAEncoder(
+            self.historical_steps,
+            self.embed_dim,
+            self.num_heads,
+            self.dropout,
+            input_diff=self.input_diff,
+            name="aa_encoder",
+        )(x_t, x_t, rot, scene.bos_mask, mask, edge_vec, deterministic)
+
+        out = TemporalEncoder(
+            self.historical_steps,
+            self.embed_dim,
+            self.num_heads,
+            self.num_temporal_layers,
+            self.dropout,
+            name="temporal_encoder",
+        )(
+            jnp.transpose(aa_out, (0, 2, 1, 3)),
+            scene.padding_mask[:, :, : self.historical_steps],
+            deterministic,
+        )
+
+        al_mask, al_vec = graph.al_edges(scene, self.historical_steps - 1, self.local_radius)
+        lane_feat = graph.lane_features(scene)
+        out = ALEncoder(self.embed_dim, self.num_heads, self.dropout, name="al_encoder")(
+            out, lane_feat, al_vec, al_mask, rot, deterministic
+        )
+        return out

@@ -1,0 +1,167 @@
+"""Latent-SDE drift/diffusion networks and scan step modules.
+
+Reference semantics (``models/encoders/enc_hivt_nusargo_sde_sep2.py:372-496``
+and ``models/decoders/dec_hivt_nusargo_sde.py:107-195``):
+
+* ``FFunc`` (posterior drift): MLP on ``[y, sin t, cos t]`` —
+  ``Linear(D+2→D)`` followed by ``num_layers`` × ``(tanh, Linear(D→D))``.
+* ``GFunc`` (diffusion): ``Linear(D+2→D)``, ``(num_layers−1)`` ×
+  ``(tanh, Linear(D→D))``, then ``tanh, Linear(D→1)``, ``sigmoid`` —
+  a scalar magnitude per row, broadcast across the latent dim
+  (diagonal noise with equal entries, ``:480-481``).
+* ``HFunc`` (OU prior drift, frozen): ``θ(μ − y)`` — present for the
+  latent-KL (logqp) capability; NOT used by fixed-grid integration
+  (the shipped loss is the diffusion BCE instead, SURVEY §2.5).
+* Dual-domain routing: two independent ``GFunc``s selected per row by the
+  nuScenes mask (``LSDEFunc.g``, ``:470-482``).
+
+Brownian increments are drawn inside the step modules via
+``self.make_rng('sde')``; under ``nn.scan`` with ``split_rngs={'sde': True}``
+every step gets an independent, reproducible stream.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from trajsde_tpu.models.layers import XAVIER, GRUUnit
+
+
+def _time_feats(t: jax.Array, y: jax.Array) -> jax.Array:
+    """Concatenate ``[y, sin t, cos t]`` with ``t`` broadcast per row."""
+    shape = y.shape[:-1] + (1,)
+    ts = jnp.broadcast_to(jnp.sin(t), shape).astype(y.dtype)
+    tc = jnp.broadcast_to(jnp.cos(t), shape).astype(y.dtype)
+    return jnp.concatenate([y, ts, tc], axis=-1)
+
+
+class FFunc(nn.Module):
+    """Posterior drift MLP (``enc_hivt_nusargo_sde_sep2.py:372-398``)."""
+
+    embed_dim: int
+    num_layers: int = 2
+
+    @nn.compact
+    def __call__(self, t: jax.Array, y: jax.Array) -> jax.Array:
+        h = nn.Dense(self.embed_dim, kernel_init=XAVIER, name="dense0")(_time_feats(t, y))
+        for i in range(self.num_layers):
+            h = nn.tanh(h)
+            h = nn.Dense(self.embed_dim, kernel_init=XAVIER, name=f"dense{i + 1}")(h)
+        return h
+
+
+class GFunc(nn.Module):
+    """Diffusion magnitude MLP → scalar sigmoid (``:412-440``)."""
+
+    embed_dim: int
+    num_layers: int = 2
+
+    @nn.compact
+    def __call__(self, t: jax.Array, y: jax.Array) -> jax.Array:
+        h = nn.Dense(self.embed_dim, kernel_init=XAVIER, name="dense0")(_time_feats(t, y))
+        for i in range(self.num_layers - 1):
+            h = nn.tanh(h)
+            h = nn.Dense(self.embed_dim, kernel_init=XAVIER, name=f"dense{i + 1}")(h)
+        h = nn.tanh(h)
+        h = nn.Dense(1, kernel_init=XAVIER, name="dense_out")(h)
+        return nn.sigmoid(h)  # [..., 1]
+
+
+def h_prior(t: jax.Array, y: jax.Array, theta: float = 1.0, mu: float = 0.0) -> jax.Array:
+    """Frozen OU prior drift ``θ(μ − y)`` (``HFunc``, ``:401-409``)."""
+    return theta * (mu - y)
+
+
+class SDEGRUStep(nn.Module):
+    """One ODE-RNN step: Euler–Maruyama segment + masked GRU fusion.
+
+    Carry: latent state ``h [..., D]``.
+    Per-step inputs ``xs = (obs, obs_mask, t0, dt)``:
+      obs      [..., D]  precomputed AA observation for this time step
+      obs_mask [...]     bool — actor observed at this step
+      t0, dt   scalars   segment start / length (first segment dt=0.01,
+                         rest 0.1 — ``enc_hivt_nusargo_sde_sep2.py:128-150``)
+    Emits ``(h_next, (h_next, g_scalar))`` where ``g_scalar [...,]`` is the
+    diffusion magnitude tap used by the BCE discrimination head
+    (``sdeint_dual``'s returned ``g``, ``sdeint.py:195-197``).
+
+    ``nus_mask [...]`` routes rows to the nuScenes vs Argoverse diffusion
+    net (dense formulation computes both tiny MLPs and selects — identical
+    math to the reference's subset routing, ``:470-482``).
+    """
+
+    embed_dim: int
+    sde_layers: int = 2
+
+    @nn.compact
+    def __call__(self, carry, xs):
+        h, nus_mask = carry
+        obs, obs_mask, t0, dt = xs
+
+        f = FFunc(self.embed_dim, self.sde_layers, name="f_func")(t0, h)
+        g_nus = GFunc(self.embed_dim, self.sde_layers, name="g_nus")(t0, h)
+        g_argo = GFunc(self.embed_dim, self.sde_layers, name="g_argo")(t0, h)
+        g = jnp.where(nus_mask[..., None], g_nus, g_argo)  # [..., 1]
+
+        eps = jax.random.normal(self.make_rng("sde"), h.shape, h.dtype)
+        y1 = h + f * dt + g * (jnp.sqrt(dt) * eps)
+
+        h_next = GRUUnit(self.embed_dim, self.embed_dim, name="gru")(y1, obs, obs_mask)
+        return (h_next, nus_mask), (h_next, g[..., 0])
+
+
+class SDEStep(nn.Module):
+    """One plain Euler–Maruyama step (decoder rollout; single diffusion net).
+
+    Carry: ``y [..., D]``; inputs ``(t0, dt)``; emits ``(y1, y1)``.
+    Matches the decoder's fixed-grid ``sdeint`` over
+    ``linspace(0, max_fut_t, future_steps+1)`` with one Euler step per
+    segment (``dec_hivt_nusargo_sde.py:72,88``).
+    """
+
+    embed_dim: int
+    sde_layers: int = 2
+
+    @nn.compact
+    def __call__(self, y, xs):
+        t0, dt = xs
+        f = FFunc(self.embed_dim, self.sde_layers, name="f_func")(t0, y)
+        g = GFunc(self.embed_dim, self.sde_layers, name="g_func")(t0, y)
+        eps = jax.random.normal(self.make_rng("sde"), y.shape, y.dtype)
+        y1 = y + f * dt + g * (jnp.sqrt(dt) * eps)
+        return y1, y1
+
+
+def scanned(step_cls, name: str, **kwargs):
+    """Wrap a step module in ``nn.scan`` with shared params + split sde rngs."""
+    scan = nn.scan(
+        step_cls,
+        variable_broadcast="params",
+        split_rngs={"sde": True, "params": False},
+        in_axes=0,
+        out_axes=0,
+    )
+    return scan(name=name, **kwargs)
+
+
+def encoder_time_grid(historical_steps: int, max_past_t: float, minimum_step: float):
+    """(t0s, dts) for the backwards ODE-RNN, iteration-ordered.
+
+    Reproduces ``enc_hivt_nusargo_sde_sep2.py:128-135,175-179``: pseudo-times
+    ``-linspace(-max_past_t, 0, Th)`` consumed newest→oldest; the first
+    segment is ``[pts[-1]−0.01, pts[-1]]`` (dt=0.01), then one
+    ``minimum_step`` segment per historical step.
+    """
+    pts = -jnp.linspace(-max_past_t, 0.0, historical_steps)[::-1]  # [0, .1, ..., 2]
+    t0s = jnp.concatenate([jnp.array([-0.01]), pts[:-1]])
+    t1s = jnp.concatenate([jnp.array([0.0]), pts[1:]])
+    return t0s, t1s - t0s
+
+
+def decoder_time_grid(future_steps: int, max_fut_t: float):
+    """(t0s, dts) for the future rollout: ``linspace(0, max_fut_t, Tf+1)``."""
+    ts = jnp.linspace(0.0, max_fut_t, future_steps + 1)
+    return ts[:-1], ts[1:] - ts[:-1]

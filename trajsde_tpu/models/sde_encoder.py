@@ -1,0 +1,231 @@
+"""Latent-SDE local encoder (ODE-RNN over a latent neural SDE).
+
+TPU-native re-design of ``models/encoders/enc_hivt_nusargo_sde_sep2.py:25-370``:
+
+* the 21-iteration Python loop of ``sdeint_dual`` calls (one Euler–Maruyama
+  segment each, ``:140-181``) becomes a single ``nn.scan`` carrying
+  ``(h, domain_mask)``;
+* the noise-perturbed "agent twin" (``x_agent + 2·randn``, ``:88-103``)
+  becomes one extra receive-only query row in the dense AA attention —
+  the twin shares the agent's incoming-edge mask / geometry (positions are
+  NOT perturbed; only the displacement features are) and is never a key;
+* the per-step diffusion magnitudes are tapped from the scan outputs and
+  gathered at each agent's end-of-sequence iteration index
+  (``eos = ref_time − argmax(bos_mask)``, ``:187-191``);
+* ``forward_ood`` (``:204-314``) runs ``eval_iter`` stochastic re-runs
+  (zeros init, no twins) and scores OOD by the per-actor std of the final
+  embeddings.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from trajsde_tpu.data.scene import SceneBatch
+from trajsde_tpu.models import graph
+from trajsde_tpu.models.local_encoder import AAEncoder, ALEncoder
+from trajsde_tpu.models.sde import SDEGRUStep, encoder_time_grid, scanned
+
+TOKEN_INIT = nn.initializers.normal(stddev=0.02)
+
+REAL_LABEL = 0.0
+FAKE_LABEL = 1.0
+
+
+def _gather_actor(arr: jax.Array, idx: jax.Array, axis: int) -> jax.Array:
+    """Gather one per-scene actor slot: arr [B, ..., A, ...] × idx [B]."""
+    idx_shape = [1] * arr.ndim
+    idx_shape[0] = arr.shape[0]
+    bidx = idx.reshape(idx_shape)
+    bidx = jnp.broadcast_to(bidx, arr.shape[:axis] + (1,) + arr.shape[axis + 1 :])
+    return jnp.take_along_axis(arr, bidx.astype(jnp.int32), axis=axis)
+
+
+class LocalEncoderSDESep(nn.Module):
+    """Registry name: ``LocalEncoderSDESepPara2`` (config-compatible kwargs)."""
+
+    historical_steps: int
+    embed_dim: int
+    num_heads: int = 8
+    dropout: float = 0.1
+    local_radius: float = 50.0
+    ref_time: int = 20
+    max_past_t: float = 2.0
+    minimum_step: float = 0.1
+    run_backwards: bool = True
+    sde_layers: int = 2
+    eval_iter: int = 10
+    node_dim: int = 2
+    edge_dim: int = 2
+    input_diff: bool = True
+    # accepted for config parity (fixed-grid Euler only, like the shipped cfg)
+    parallel: bool = True
+    adjoint: bool = False
+    method: str = "euler"
+    adaptive: bool = False
+    rtol: float = 1e-3
+    atol: float = 1e-3
+
+    def setup(self):
+        self.aa_encoder = AAEncoder(
+            self.historical_steps,
+            self.embed_dim,
+            self.num_heads,
+            self.dropout,
+            input_diff=True,  # the reference SDE AAEncoder always substitutes bos
+            name="aa_encoder",
+        )
+        self.al_encoder = ALEncoder(
+            self.embed_dim, self.num_heads, self.dropout, name="al_encoder"
+        )
+        self.sde_rnn = scanned(
+            SDEGRUStep,
+            "sde_rnn",
+            embed_dim=self.embed_dim,
+            sde_layers=self.sde_layers,
+        )
+        self.hidden = self.param("hidden", TOKEN_INIT, (self.embed_dim,))
+
+    # ------------------------------------------------------------------
+    def _aa_with_twin(self, scene: SceneBatch, deterministic: bool):
+        """AA attention over A real actors + 1 twin query row.
+
+        Returns (aa_out [B, Th, A+1, D], bos_q [B, A+1, Th],
+        valid_q [B, A+1, Th], nus_row [B, A+1]).
+        """
+        B, A, Th = scene.x.shape[0], scene.x.shape[1], self.historical_steps
+        rot = scene.rotate_mat()
+
+        mask = graph.aa_masks(scene, self.local_radius)     # [B, Th, A, A]
+        edge_vec = graph.aa_edge_vectors(scene)             # [B, Th, A, A, 2]
+        x_t = jnp.transpose(scene.x, (0, 2, 1, 3))          # [B, Th, A, 2]
+
+        # twin: perturbed displacement features, agent's geometry/masks
+        x_agent = _gather_actor(scene.x, scene.agent_index, axis=1)  # [B,1,Th,2]
+        noise = jax.random.normal(self.make_rng("sde"), x_agent.shape, x_agent.dtype)
+        x_twin = x_agent + 2.0 * noise
+        x_q = jnp.concatenate(
+            [x_t, jnp.transpose(x_twin, (0, 2, 1, 3))], axis=2
+        )  # [B, Th, A+1, 2]
+
+        rot_q = jnp.concatenate([rot, _gather_actor(rot, scene.agent_index, 1)], axis=1)
+        bos_q = jnp.concatenate(
+            [scene.bos_mask, _gather_actor(scene.bos_mask, scene.agent_index, 1)], axis=1
+        )
+        mask_q = jnp.concatenate([mask, _gather_actor(mask, scene.agent_index, 2)], axis=2)
+        edge_q = jnp.concatenate(
+            [edge_vec, _gather_actor(edge_vec, scene.agent_index, 2)], axis=2
+        )
+
+        aa_out = self.aa_encoder(
+            x_q, x_t, rot_q, bos_q, mask_q, edge_q, deterministic
+        )  # [B, Th, A+1, D]
+
+        pad = scene.padding_mask[:, :, :Th]
+        valid_q = ~jnp.concatenate(
+            [pad, _gather_actor(pad, scene.agent_index, 1)], axis=1
+        )  # [B, A+1, Th]
+        nus = scene.source == 0
+        nus_row = jnp.broadcast_to(nus[:, None], (B, A + 1))
+        return aa_out, bos_q, valid_q, nus_row
+
+    def _run_rnn(self, h0, aa_out, valid_q, nus_row):
+        """Scan the ODE-RNN newest→oldest; returns iteration-ordered outputs.
+
+        aa_out [B, Th, N, D]; iteration k consumes time step Th−1−k
+        (``run_backwards``, ``enc_hivt_nusargo_sde_sep2.py:131-133``).
+        """
+        t0s, dts = encoder_time_grid(
+            self.historical_steps, self.max_past_t, self.minimum_step
+        )
+        obs = jnp.flip(jnp.transpose(aa_out, (1, 0, 2, 3)), axis=0)  # [Th, B, N, D]
+        obs_mask = jnp.flip(jnp.transpose(valid_q, (2, 0, 1)), axis=0)  # [Th, B, N]
+        (_, _), (ys, gs) = self.sde_rnn((h0, nus_row), (obs, obs_mask, t0s, dts))
+        return ys, gs  # [Th, B, N, D], [Th, B, N]
+
+    # ------------------------------------------------------------------
+    def __call__(
+        self, scene: SceneBatch, deterministic: bool = True
+    ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
+        """Returns (local_embed [B,A,D], diff_in [B], diff_out [B],
+        label_in [B], label_out [B])."""
+        B, A = scene.x.shape[0], scene.x.shape[1]
+        Th = self.historical_steps
+
+        aa_out, bos_q, valid_q, nus_row = self._aa_with_twin(scene, deterministic)
+
+        h0 = jnp.broadcast_to(self.hidden, (B, A + 1, self.embed_dim))
+        ys, gs = self._run_rnn(h0, aa_out, valid_q, nus_row)
+
+        # per-actor final state: iteration index = ref_time − first bos step
+        eos = self.ref_time - jnp.argmax(bos_q.astype(jnp.int32), axis=-1)  # [B, A+1]
+        ys_bn = jnp.transpose(ys, (1, 2, 0, 3))          # [B, A+1, Th, D]
+        out_all = jnp.take_along_axis(
+            ys_bn, eos[:, :, None, None].astype(jnp.int32), axis=2
+        )[:, :, 0, :]                                     # [B, A+1, D]
+        out = out_all[:, :A]
+
+        # diffusion taps at the agent's eos iteration (``:187-196``):
+        # the agent row and its twin (slot A), both at the agent's eos index
+        gs_bn = jnp.transpose(gs, (1, 2, 0))              # [B, A+1, Th]
+        agent_eos = jnp.take_along_axis(eos[:, :A], scene.agent_index[:, None], axis=1)
+        g_rows_agent = _gather_actor(gs_bn, scene.agent_index, axis=1)[:, 0]  # [B, Th]
+        g_rows_twin = gs_bn[:, A]                                             # [B, Th]
+        diff_in = jnp.take_along_axis(g_rows_agent, agent_eos.astype(jnp.int32), axis=1)[:, 0]
+        diff_out = jnp.take_along_axis(g_rows_twin, agent_eos.astype(jnp.int32), axis=1)[:, 0]
+
+        al_mask, al_vec = graph.al_edges(scene, self.ref_time, self.local_radius)
+        lane_feat = graph.lane_features(scene)
+        out = self.al_encoder(
+            out, lane_feat, al_vec, al_mask, scene.rotate_mat(), deterministic
+        )
+
+        label_in = jnp.full((B,), REAL_LABEL, out.dtype)
+        label_out = jnp.full((B,), FAKE_LABEL, out.dtype)
+        return out, diff_in, diff_out, label_in, label_out
+
+    # ------------------------------------------------------------------
+    def forward_ood(
+        self, scene: SceneBatch, deterministic: bool = True
+    ) -> Tuple[jax.Array, jax.Array]:
+        """OOD scoring: ``eval_iter`` stochastic re-runs, std of embeddings.
+
+        Returns (local_embed [B, A, D], actors_std [B, A]).  Matches
+        ``forward_ood`` (``enc_hivt_nusargo_sde_sep2.py:204-314``): zeros
+        initial state, no twins, mean embedding through the AL encoder.
+        """
+        B, A = scene.x.shape[0], scene.x.shape[1]
+        Th = self.historical_steps
+        rot = scene.rotate_mat()
+
+        mask = graph.aa_masks(scene, self.local_radius)
+        edge_vec = graph.aa_edge_vectors(scene)
+        x_t = jnp.transpose(scene.x, (0, 2, 1, 3))
+        aa_out = self.aa_encoder(
+            x_t, x_t, rot, scene.bos_mask, mask, edge_vec, deterministic
+        )
+        valid = ~scene.padding_mask[:, :, :Th]
+        nus_row = jnp.broadcast_to((scene.source == 0)[:, None], (B, A))
+        eos = self.ref_time - jnp.argmax(scene.bos_mask.astype(jnp.int32), axis=-1)
+
+        outs = []
+        h0 = jnp.zeros((B, A, self.embed_dim), scene.x.dtype)
+        for _ in range(self.eval_iter):
+            ys, _ = self._run_rnn(h0, aa_out, valid, nus_row)
+            ys_bn = jnp.transpose(ys, (1, 2, 0, 3))
+            outs.append(
+                jnp.take_along_axis(
+                    ys_bn, eos[:, :, None, None].astype(jnp.int32), axis=2
+                )[:, :, 0, :]
+            )
+        stacked = jnp.stack(outs)                       # [E, B, A, D]
+        actors_std = jnp.std(stacked, axis=0).mean(-1)  # [B, A]
+        out = stacked.mean(0)
+
+        al_mask, al_vec = graph.al_edges(scene, self.ref_time, self.local_radius)
+        lane_feat = graph.lane_features(scene)
+        out = self.al_encoder(out, lane_feat, al_vec, al_mask, rot, deterministic)
+        return out, actors_std

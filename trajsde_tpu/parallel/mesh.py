@@ -1,0 +1,68 @@
+"""Device mesh and sharding specs — the framework's communication backend.
+
+The reference gets its distribution for free from Lightning DDP over NCCL
+(``train.py:35``, SURVEY §2.9).  The TPU-native equivalent is explicit:
+a ``jax.sharding.Mesh`` with a ``data`` axis (scenes) and a ``model``
+axis (prediction modes / OOD ensemble members), batch arrays sharded by
+``NamedSharding``, parameters replicated, and XLA inserting ``psum`` /
+``all_gather`` collectives over ICI.  Multi-host DCN slices initialize via
+``jax.distributed.initialize`` before calling :func:`make_mesh`.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(
+    n_data: Optional[int] = None, n_model: int = 1, devices=None
+) -> Mesh:
+    """Create a 2-D (data, model) mesh over the available devices.
+
+    ``n_model`` shards the mode/ensemble axes (kept 1 for the headline
+    configs — the model is 64-dim, so data parallelism dominates); ICI
+    ordering is preserved by keeping the fastest-varying axis innermost.
+    """
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    if n_data is None:
+        n_data = devices.size // n_model
+    assert n_data * n_model == devices.size, (
+        f"mesh {n_data}x{n_model} != {devices.size} devices"
+    )
+    return Mesh(devices.reshape(n_data, n_model), (DATA_AXIS, MODEL_AXIS))
+
+
+def scene_sharding(mesh: Mesh) -> NamedSharding:
+    """Batch arrays: leading (scene) axis over the data axis, rest local."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def mode_sharding(mesh: Mesh) -> NamedSharding:
+    """[B, F, ...] activations: scenes over data, modes over model."""
+    return NamedSharding(mesh, P(DATA_AXIS, MODEL_AXIS))
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Place every array of a SceneBatch pytree with batch-dim sharding."""
+    sharding = scene_sharding(mesh)
+    return jax.tree.map(
+        lambda x: jax.device_put(x, sharding) if hasattr(x, "shape") and x.ndim else x,
+        batch,
+    )
+
+
+def constrain_modes(x, mesh: Mesh):
+    """Annotate a [B, F, ...] activation so XLA shards modes over ``model``."""
+    ndim = x.ndim
+    spec = P(DATA_AXIS, MODEL_AXIS, *([None] * (ndim - 2)))
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))

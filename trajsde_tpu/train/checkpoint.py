@@ -1,0 +1,98 @@
+"""Checkpoint management: (params, opt state, PRNG key, step) + best-k.
+
+Reference behavior reproduced (``train.py:52``, ``model_base_mix.py:28``):
+``ModelCheckpoint(monitor='val/ADE_T', save_top_k, mode='min')``, full
+resume, and weights-only warm start (``--wonly``, ``train.py:62-64``).
+Storage uses Orbax (the TPU-native checkpoint layer) with a JSON sidecar
+for the monitored-metric leaderboard.
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    def __init__(
+        self,
+        directory: str,
+        save_top_k: int = 5,
+        mode: str = "min",
+        keep_last: bool = True,
+    ):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self.save_top_k = save_top_k
+        self.mode = mode
+        self.keep_last = keep_last
+        self._ckptr = ocp.StandardCheckpointer()
+        self._board_path = os.path.join(self.directory, "leaderboard.json")
+        self._board = self._load_board()
+
+    def _load_board(self):
+        if os.path.exists(self._board_path):
+            with open(self._board_path) as f:
+                return json.load(f)
+        return []
+
+    def _write_board(self):
+        with open(self._board_path, "w") as f:
+            json.dump(self._board, f, indent=2)
+
+    def _path(self, step: int) -> str:
+        return os.path.join(self.directory, f"step_{step:08d}")
+
+    def save(self, state: Any, metric: Optional[float], step: int) -> None:
+        path = self._path(step)
+        if not os.path.exists(path):
+            self._ckptr.save(path, state)
+            self._ckptr.wait_until_finished()
+        self._board.append({"step": step, "metric": metric, "path": path})
+        self._prune()
+        self._write_board()
+
+    def _prune(self) -> None:
+        scored = [e for e in self._board if e["metric"] is not None]
+        reverse = self.mode == "max"
+        scored.sort(key=lambda e: e["metric"], reverse=reverse)
+        keep = {e["path"] for e in scored[: self.save_top_k]}
+        if self.keep_last and self._board:
+            keep.add(self._board[-1]["path"])
+        for entry in list(self._board):
+            if entry["path"] not in keep:
+                self._board.remove(entry)
+                if os.path.exists(entry["path"]):
+                    import shutil
+
+                    shutil.rmtree(entry["path"], ignore_errors=True)
+
+    def best(self) -> Optional[dict]:
+        scored = [e for e in self._board if e["metric"] is not None]
+        if not scored:
+            return None
+        return (min if self.mode == "min" else max)(scored, key=lambda e: e["metric"])
+
+    def latest(self) -> Optional[dict]:
+        return self._board[-1] if self._board else None
+
+    def restore(self, target: Any, path: Optional[str] = None) -> Any:
+        """Full-state restore (``trainer.fit(ckpt_path=...)`` analog)."""
+        if path is None:
+            entry = self.latest()
+            if entry is None:
+                return target
+            path = entry["path"]
+        return self._ckptr.restore(path, target)
+
+    def restore_params(self, target_params: Any, path: str) -> Any:
+        """Weights-only warm start (``--wonly`` analog, ``train.py:62-64``)."""
+        restored = self._ckptr.restore(path)
+        return jax.tree.map(
+            lambda t, r: jax.numpy.asarray(r, t.dtype).reshape(t.shape),
+            target_params,
+            restored["params"] if "params" in restored else restored,
+        )

@@ -1,0 +1,104 @@
+"""Experiment logging + observability.
+
+Covers the reference's aux subsystems (SURVEY §5): TensorBoard-compatible
+scalar logging (``train.py:53``), source snapshotting (the lost
+``debug_util.save_modules`` capability, ``train.py:60``), profiler hooks
+(``jax.profiler`` — nothing in the reference ever invoked its bundled
+profilers), and NFE/steps-per-second counters as first-class metrics.
+"""
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from typing import Dict, Optional
+
+import jax
+
+try:  # TensorBoard writer if available; JSONL always
+    from torch.utils.tensorboard import SummaryWriter  # type: ignore
+
+    _HAS_TB = True
+except Exception:  # pragma: no cover
+    _HAS_TB = False
+
+
+class ExperimentLogger:
+    """Scalars to TensorBoard (if available) + append-only JSONL."""
+
+    def __init__(self, log_dir: str, use_tensorboard: bool = True):
+        self.log_dir = os.path.abspath(log_dir)
+        os.makedirs(self.log_dir, exist_ok=True)
+        self._jsonl = open(os.path.join(self.log_dir, "metrics.jsonl"), "a")
+        self._tb = (
+            SummaryWriter(self.log_dir) if (_HAS_TB and use_tensorboard) else None
+        )
+        self._t_last: Optional[float] = None
+        self._step_last: Optional[int] = None
+
+    def log_scalars(self, step: int, scalars: Dict[str, float]) -> None:
+        record = {"step": step, "time": time.time()}
+        for k, v in scalars.items():
+            v = float(v)
+            record[k] = v
+            if self._tb is not None:
+                self._tb.add_scalar(k, v, step)
+        self._jsonl.write(json.dumps(record) + "\n")
+        self._jsonl.flush()
+
+    def log_throughput(self, step: int, scenes: int) -> None:
+        now = time.time()
+        if self._t_last is not None and step > self._step_last:
+            dt = now - self._t_last
+            self.log_scalars(
+                step,
+                {
+                    "perf/steps_per_s": (step - self._step_last) / dt,
+                    "perf/scenes_per_s": scenes * (step - self._step_last) / dt,
+                },
+            )
+        self._t_last, self._step_last = now, step
+
+    def close(self) -> None:
+        self._jsonl.close()
+        if self._tb is not None:
+            self._tb.close()
+
+
+def snapshot_sources(log_dir: str, package_root: Optional[str] = None) -> str:
+    """Copy the framework sources into the run directory.
+
+    Restores the capability the reference lost with its missing
+    ``debug_util.save_modules`` (``train.py:60``, SURVEY §1): every run
+    archives the exact code that produced it.
+    """
+    if package_root is None:
+        package_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    dest = os.path.join(log_dir, "source_snapshot")
+    if os.path.exists(dest):
+        shutil.rmtree(dest)
+    shutil.copytree(
+        package_root,
+        os.path.join(dest, os.path.basename(package_root)),
+        ignore=shutil.ignore_patterns("__pycache__", "*.pyc", "*.so"),
+    )
+    return dest
+
+
+class ProfilerHook:
+    """``jax.profiler`` trace around a step window (SURVEY §5 rebuild item)."""
+
+    def __init__(self, log_dir: str, start_step: int, num_steps: int = 5):
+        self.trace_dir = os.path.join(log_dir, "profile")
+        self.start_step = start_step
+        self.stop_step = start_step + num_steps
+        self._active = False
+
+    def on_step(self, step: int) -> None:
+        if step == self.start_step and not self._active:
+            jax.profiler.start_trace(self.trace_dir)
+            self._active = True
+        elif step >= self.stop_step and self._active:
+            jax.profiler.stop_trace()
+            self._active = False

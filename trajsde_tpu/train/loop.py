@@ -1,0 +1,175 @@
+"""Training / evaluation loops — the experiment orchestration layer.
+
+TPU-native replacement for the reference's PyTorch-Lightning wiring
+(``train.py:19-66``, ``models/model_base_mix*.py:95-167``): a jitted
+train step (forward + weighted losses + AdamW update) over a data-parallel
+mesh, a jitted eval step that emits (sum, count) metric contributions
+reduced with ``psum`` semantics, explicit epoch-boundary metric resets
+(the reference forgot these — SURVEY §2.2 warts), and checkpointing of
+(params, opt state, PRNG key, step).
+"""
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Callable, Dict, Iterable, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from trajsde_tpu.data.scene import SceneBatch
+from trajsde_tpu.parallel import mesh as mesh_lib
+
+
+@struct.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    step: jax.Array
+    key: jax.Array
+
+
+def create_train_state(model, optimizer, example_scene: SceneBatch, seed: int = 0):
+    key = jax.random.key(seed)
+    pkey, skey, rest = jax.random.split(key, 3)
+    variables = model.init({"params": pkey, "sde": skey}, example_scene)
+    params = variables["params"]
+    opt_state = optimizer.init(params)
+    return TrainState(
+        params=params, opt_state=opt_state, step=jnp.zeros((), jnp.int32), key=rest
+    )
+
+
+def gather_agent(arr: jax.Array, agent_index: jax.Array, axis: int) -> jax.Array:
+    """Select the focal-agent slot per scene along ``axis``."""
+    shape = [1] * arr.ndim
+    shape[0] = arr.shape[0]
+    idx = agent_index.reshape(shape).astype(jnp.int32)
+    idx = jnp.broadcast_to(idx, arr.shape[:axis] + (1,) + arr.shape[axis + 1 :])
+    return jnp.take_along_axis(arr, idx, axis=axis)[
+        tuple(slice(None) if i != axis else 0 for i in range(arr.ndim))
+    ]
+
+
+def agent_slices(scene: SceneBatch, output: Dict[str, jax.Array]):
+    """(pred [B,K,Tf,2], target [B,Tf,2], reg_mask [B,Tf], source [B]) —
+    the focal-agent views metrics consume (``model_base_mix.py:121-124``)."""
+    pred = gather_agent(output["loc"][..., :2], scene.agent_index, axis=2)
+    target = gather_agent(output["y"], scene.agent_index, axis=1)
+    reg_mask = gather_agent(output["reg_mask"], scene.agent_index, axis=1)
+    return pred, target, reg_mask, scene.source
+
+
+def make_train_step(
+    model,
+    optimizer: optax.GradientTransformation,
+    losses: List[Tuple[str, float, Callable]],
+    donate: bool = True,
+) -> Callable:
+    """Build the jitted train step: grads of the weighted loss sum.
+
+    Under a sharded batch, XLA inserts the gradient ``psum`` over the data
+    axis automatically (the NCCL-allreduce equivalent, SURVEY §2.9).
+    """
+
+    def loss_fn(params, scene, sde_key, drop_key):
+        out = model.apply(
+            {"params": params},
+            scene,
+            deterministic=False,
+            rngs={"sde": sde_key, "dropout": drop_key},
+        )
+        total = 0.0
+        logs = {}
+        for name, weight, fn in losses:
+            value = fn(out["y"], out)
+            total = total + weight * value
+            logs[f"train/{name}"] = value
+        return total, logs
+
+    @partial(jax.jit, donate_argnums=(0,) if donate else ())
+    def train_step(state: TrainState, scene: SceneBatch):
+        key, sde_key, drop_key = jax.random.split(state.key, 3)
+        (loss, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, scene, sde_key, drop_key
+        )
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        logs["train/total"] = loss
+        new_state = TrainState(
+            params=params, opt_state=opt_state, step=state.step + 1, key=key
+        )
+        return new_state, logs
+
+    return train_step
+
+
+def make_eval_step(model, metrics) -> Callable:
+    """Jitted eval step → per-metric (sum, count) contributions."""
+
+    @jax.jit
+    def eval_step(params, scene: SceneBatch, sde_key):
+        out = model.apply({"params": params}, scene, rngs={"sde": sde_key})
+        pred, target, reg_mask, source = agent_slices(scene, out)
+        return {
+            m.name: m.update_fn(pred, target, reg_mask, source) for m in metrics
+        }
+
+    return eval_step
+
+
+@dataclass
+class Trainer:
+    """Minimal epoch-driven trainer (L2 analog of the Lightning Trainer)."""
+
+    model: Any
+    optimizer: optax.GradientTransformation
+    losses: List[Tuple[str, float, Callable]]
+    metrics: List[Any]
+    logger: Optional[Any] = None
+    checkpointer: Optional[Any] = None
+    monitor: str = "ADE_T"
+
+    def __post_init__(self):
+        self.train_step = make_train_step(self.model, self.optimizer, self.losses)
+        self.eval_step = make_eval_step(self.model, self.metrics)
+
+    def fit(
+        self,
+        state: TrainState,
+        train_batches: Callable[[], Iterable[SceneBatch]],
+        val_batches: Callable[[], Iterable[SceneBatch]],
+        max_epochs: int,
+    ) -> TrainState:
+        for epoch in range(max_epochs):
+            t0 = time.time()
+            n_steps = 0
+            for scene in train_batches():
+                state, logs = self.train_step(state, scene)
+                n_steps += 1
+                if self.logger is not None:
+                    self.logger.log_scalars(int(state.step), logs)
+            results = self.evaluate(state, val_batches)
+            dt = time.time() - t0
+            if self.logger is not None:
+                self.logger.log_scalars(
+                    int(state.step),
+                    {f"val/{k}": v for k, v in results.items()}
+                    | {"epoch_time_s": dt, "epoch": epoch},
+                )
+            if self.checkpointer is not None:
+                self.checkpointer.save(state, metric=results.get(self.monitor), step=int(state.step))
+        return state
+
+    def evaluate(self, state: TrainState, batches) -> Dict[str, float]:
+        for m in self.metrics:
+            m.reset()
+        key = jax.random.key(12345)
+        for i, scene in enumerate(batches()):
+            contribs = self.eval_step(state.params, scene, jax.random.fold_in(key, i))
+            for m in self.metrics:
+                m.accumulate(contribs[m.name])
+        return {m.name: m.compute() for m in self.metrics}
