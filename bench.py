@@ -1,0 +1,90 @@
+"""Headline benchmark: SDE-model training throughput on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The measured quantity is full training-step throughput (fwd + bwd + AdamW
+update) of the flagship neural-SDE model — encoder 21-segment
+Euler–Maruyama ODE-RNN + 60-step SDE decoder rollout — on synthetic
+scenes at reference scale (batch 64 here; the reference trains at 128 on
+an A100-class GPU).  ``vs_baseline`` is measured against the first
+recorded value in BENCH_BASELINE.json (the reference publishes no
+throughput numbers — BASELINE.md), so cross-round improvements are
+tracked self-relative.
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import jax
+import numpy as np
+import optax
+
+BATCH, ACTORS, LANES = 64, 32, 64
+WARMUP, ITERS = 2, 10
+BASELINE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_BASELINE.json")
+
+
+def main() -> None:
+    from __graft_entry__ import _build_flagship, _scene
+    from trajsde_tpu.losses import diff_bce_loss, l2_loss
+    from trajsde_tpu.train.loop import create_train_state, make_train_step
+
+    model = _build_flagship()
+    scene = _scene(batch_size=BATCH, num_actors=ACTORS, num_lanes=LANES)
+    scene = jax.device_put(scene)
+
+    optimizer = optax.adamw(1e-3, weight_decay=7e-4)
+    state = create_train_state(model, optimizer, scene)
+    step = make_train_step(
+        model,
+        optimizer,
+        [("L2", 1.0, l2_loss), ("DiffBCE", 1.0, diff_bce_loss)],
+        donate=True,
+    )
+
+    for _ in range(WARMUP):
+        state, logs = step(state, scene)
+    jax.block_until_ready(state.params)
+
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        state, logs = step(state, scene)
+    jax.block_until_ready(state.params)
+    dt = time.perf_counter() - t0
+
+    scenes_per_sec = BATCH * ITERS / dt
+    assert np.isfinite(float(logs["train/total"]))
+
+    if os.path.exists(BASELINE_PATH):
+        with open(BASELINE_PATH) as f:
+            baseline = json.load(f)["value"]
+    else:
+        baseline = scenes_per_sec
+        with open(BASELINE_PATH, "w") as f:
+            json.dump(
+                {
+                    "value": scenes_per_sec,
+                    "unit": "scenes/sec",
+                    "config": {"batch": BATCH, "actors": ACTORS, "lanes": LANES},
+                    "note": "first recorded run (round 1); reference publishes no numbers",
+                },
+                f,
+                indent=2,
+            )
+
+    print(
+        json.dumps(
+            {
+                "metric": "sde_train_scenes_per_sec",
+                "value": round(scenes_per_sec, 2),
+                "unit": "scenes/sec/chip",
+                "vs_baseline": round(scenes_per_sec / baseline, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

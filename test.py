@@ -1,0 +1,98 @@
+"""Evaluation CLI (reference analog: ``test.py:12-58``).
+
+    python test.py -c configs/nusargo/sde.yml --ckpt PATH [--ood]
+
+Runs the test split, computes the transfer metrics, and writes
+``result_<ckpt>.json`` next to the checkpoint (``model_base_mix.py:152-167``).
+``--ood`` routes the SDE encoder through its OOD ensemble scoring and
+additionally reports the mean per-agent embedding std.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import jax
+import numpy as np
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("-c", "--config", required=True)
+    parser.add_argument("--ckpt", required=True)
+    parser.add_argument("--ood", action="store_true")
+    parser.add_argument("--num-actors", type=int, default=48)
+    parser.add_argument("--num-lanes", type=int, default=192)
+    args = parser.parse_args()
+
+    from trajsde_tpu.config import build_model, load_config
+    from trajsde_tpu.data.loader import DataModuleNuArgoMix
+    from trajsde_tpu.parallel import mesh as mesh_lib
+    from trajsde_tpu.train.checkpoint import CheckpointManager
+    from trajsde_tpu.train.loop import agent_slices, create_train_state, gather_agent
+    from trajsde_tpu.train.metrics import make_metrics
+    import optax
+
+    cfg = load_config(args.config)
+    dm_kwargs = dict(cfg.datamodule)
+    dm_kwargs.setdefault("num_actors", args.num_actors)
+    dm_kwargs.setdefault("num_lanes", args.num_lanes)
+    datamodule = DataModuleNuArgoMix(**dm_kwargs)
+
+    model = build_model(cfg)
+    metrics = make_metrics(
+        [n for n, _ in cfg.metric_specs], [dict(a) for _, a in cfg.metric_specs]
+    )
+
+    mesh = mesh_lib.make_mesh(n_model=1)
+    loader = datamodule.test_loader()
+    example = mesh_lib.shard_batch(next(iter(loader)), mesh)
+    state = create_train_state(model, optax.identity(), example)
+    ckpt_dir = os.path.dirname(os.path.abspath(args.ckpt))
+    state = CheckpointManager(ckpt_dir).restore(state, args.ckpt)
+
+    ood = args.ood
+
+    @jax.jit
+    def eval_step(params, scene, key):
+        kwargs = {"ood": True} if ood else {}
+        out = model.apply({"params": params}, scene, rngs={"sde": key}, **kwargs)
+        result = {}
+        if out.get("y") is not None:
+            pred, target, reg_mask, source = agent_slices(scene, out)
+            for m in metrics:
+                result[m.name] = m.update_fn(pred, target, reg_mask, source)
+        if "stds" in out:
+            agent_std = gather_agent(out["stds"], scene.agent_index, axis=1)
+            result["agent_std"] = (agent_std.sum(), agent_std.shape[0])
+        return result
+
+    key = jax.random.key(0)
+    std_sum, std_cnt = 0.0, 0
+    for i, scene in enumerate(loader):
+        scene = mesh_lib.shard_batch(scene, mesh)
+        contribs = eval_step(state.params, scene, jax.random.fold_in(key, i))
+        for m in metrics:
+            if m.name in contribs:
+                m.accumulate(contribs[m.name])
+        if "agent_std" in contribs:
+            s, c = contribs["agent_std"]
+            std_sum += float(s)
+            std_cnt += int(c)
+
+    results = {m.name: m.compute() for m in metrics}
+    if std_cnt:
+        results["agent_std_mean"] = std_sum / std_cnt
+
+    out_dir = os.path.join(os.path.dirname(ckpt_dir), "out")
+    os.makedirs(out_dir, exist_ok=True)
+    stem = os.path.splitext(os.path.basename(args.ckpt.rstrip("/")))[0]
+    out_path = os.path.join(out_dir, f"result_{stem}.json")
+    with open(out_path, "w") as f:
+        json.dump(results, f, indent=2)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,119 @@
+"""Data pipeline tests: grid alignment, augmentation, packing, loading."""
+import os
+
+import numpy as np
+
+from trajsde_tpu.data.augment import random_flip
+from trajsde_tpu.data.grid import TF, TH, align_to_grid, domain_slot_masks
+from trajsde_tpu.data.loader import BatchLoader, DataModuleNuArgoMix, NuArgoDataset
+from trajsde_tpu.data.pack import pack_scenes
+from trajsde_tpu.data.synthetic import make_raw_scene
+
+
+def test_grid_slot_masks_match_reference():
+    """Slot layouts from ``nuScenes_Argoverse.py:91-103``."""
+    past, fut = domain_slot_masks(0)  # nuScenes
+    assert list(np.nonzero(past)[0]) == [0, 5, 10, 15, 20]
+    assert list(np.nonzero(fut)[0]) == [4, 9, 14, 19, 24, 29, 34, 39, 44, 49, 54, 59]
+    past, fut = domain_slot_masks(1)  # Argoverse
+    assert list(np.nonzero(past)[0]) == list(range(1, 21))
+    assert list(np.nonzero(fut)[0]) == list(range(30))
+
+
+def test_align_to_grid_roundtrip(rng):
+    for source in (0, 1):
+        raw = make_raw_scene(rng, source)
+        g = align_to_grid(raw)
+        N = raw["x"].shape[0]
+        assert g["x"].shape == (N, TH, 2)
+        assert g["y"].shape == (N, TF, 2)
+        assert g["padding_mask"].shape == (N, TH + TF)
+        past, fut = domain_slot_masks(source)
+        # values land on the right slots, with nuScenes ÷5 scaling on x only
+        scale = 5.0 if source == 0 else 1.0
+        np.testing.assert_allclose(g["x"][:, past], raw["x"] / scale, rtol=1e-6)
+        np.testing.assert_allclose(g["y"][:, fut], raw["y"], rtol=1e-6)
+        # off-grid slots stay padded/zero
+        assert g["padding_mask"][:, :TH][:, ~past].all()
+        np.testing.assert_array_equal(g["x"][:, ~past], 0.0)
+
+
+def test_align_delta_targets(rng):
+    raw = make_raw_scene(rng, 1)
+    g_abs = align_to_grid(raw, is_gtabs=True)
+    g_del = align_to_grid(raw, is_gtabs=False)
+    _, fut = domain_slot_masks(1)
+    # delta targets cumsum back to absolute on the native slots
+    np.testing.assert_allclose(
+        np.cumsum(g_del["y"][:, fut], axis=1),
+        g_abs["y"][:, fut],
+        rtol=1e-4,
+        atol=1e-4,
+    )
+
+
+def test_category_interest_masks_whole_track(rng):
+    raw = make_raw_scene(rng, 0)
+    raw["category"] = np.full(raw["x"].shape[0], 6, np.int32)  # not of interest
+    g = align_to_grid(raw)
+    # nuScenes domain width (17) < 60 ⇒ the reference's [-60:] slice pads
+    # the ENTIRE track of non-interest actors
+    assert g["padding_mask"].all()
+
+
+def test_random_flip_consistency(rng):
+    raw = align_to_grid(make_raw_scene(rng, 1))
+
+    class FlipRng:
+        def integers(self, lo, hi):
+            return 1  # force both flips
+
+    f = random_flip(raw, FlipRng())
+    np.testing.assert_allclose(f["positions"], -raw["positions"], rtol=1e-6)
+    # heading angles rotate consistently: cos/sin negate
+    np.testing.assert_allclose(
+        np.cos(f["rotate_angles"]), -np.cos(raw["rotate_angles"]), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.sin(f["rotate_angles"]), -np.sin(raw["rotate_angles"]), atol=1e-6
+    )
+
+
+def test_pack_scenes_truncation_and_remap(rng):
+    scenes = [align_to_grid(make_raw_scene(rng, s, num_actors=12)) for s in (0, 1)]
+    batch = pack_scenes(scenes, num_actors=6, num_lanes=8, as_jax=False)
+    assert batch.x.shape == (2, 6, TH, 2)
+    assert batch.lane_positions.shape == (2, 8, 10, 2)
+    # agent survives truncation and is remapped to a valid slot
+    for b in range(2):
+        a = int(batch.agent_index[b])
+        assert bool(batch.actor_valid[b, a])
+        assert not bool(batch.padding_mask[b, a, 20])  # agent valid at ref
+
+
+def test_loader_end_to_end(rng, tmp_path):
+    for split in ("train", "val"):
+        for name, src in (("nuScenes", 0), ("Argoverse", 1)):
+            d = tmp_path / name / ("val" if split != "train" else "train")
+            os.makedirs(d, exist_ok=True)
+            for i in range(4):
+                raw = make_raw_scene(rng, src, num_actors=6, num_lanes=8)
+                np.savez(d / f"s{i}.npz", **raw)
+
+    dm = DataModuleNuArgoMix(
+        nu_dir=str(tmp_path / "nuScenes"),
+        Argo_dir=str(tmp_path / "Argoverse"),
+        train_batch_size=4,
+        val_batch_size=4,
+        num_actors=8,
+        num_lanes=16,
+        tr_dataset_args={"nus": True, "Argo": True, "random_flip": True},
+        val_dataset_args={"nus": True, "Argo": False},
+        test_dataset_args={"nus": True, "Argo": False},
+    )
+    train_batches = list(dm.train_loader())
+    assert len(train_batches) == 2  # 8 scenes / 4
+    batch = train_batches[0]
+    assert batch.x.shape == (4, 8, TH, 2)
+    val_batches = list(dm.val_loader())
+    assert len(val_batches) == 1 and int(np.asarray(val_batches[0].source).max()) == 0

@@ -1,0 +1,95 @@
+"""Training CLI (reference analog: ``train.py:19-66``).
+
+    python train.py -c configs/nusargo/sde.yml -n my_run [--ckpt PATH]
+                    [--wonly PATH] [--epochs N]
+
+Wires config → model/losses/metrics/datamodule → mesh → Trainer, with
+checkpoint resume, weights-only warm start, TensorBoard+JSONL logging and
+a source snapshot of the framework into the run directory.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("-c", "--config", required=True)
+    parser.add_argument("-n", "--name", required=True)
+    parser.add_argument("--ckpt", default=None, help="resume full trainer state")
+    parser.add_argument("--wonly", default=None, help="weights-only warm start")
+    parser.add_argument("--epochs", type=int, default=None)
+    parser.add_argument("--logdir", default="logs")
+    parser.add_argument("--monitor", default="ADE_T")
+    parser.add_argument("--num-actors", type=int, default=48)
+    parser.add_argument("--num-lanes", type=int, default=192)
+    parser.add_argument("--seed", type=int, default=0)
+    args = parser.parse_args()
+
+    from trajsde_tpu.config import build_losses, build_model, load_config
+    from trajsde_tpu.data.loader import DataModuleNuArgoMix
+    from trajsde_tpu.parallel import mesh as mesh_lib
+    from trajsde_tpu.train.checkpoint import CheckpointManager
+    from trajsde_tpu.train.logging import ExperimentLogger, snapshot_sources
+    from trajsde_tpu.train.loop import Trainer, create_train_state
+    from trajsde_tpu.train.metrics import make_metrics
+    from trajsde_tpu.train.optim import build_optimizer
+
+    cfg = load_config(args.config)
+    run_dir = os.path.join(args.logdir, args.name)
+    os.makedirs(run_dir, exist_ok=True)
+    snapshot_sources(run_dir)
+
+    dm_kwargs = dict(cfg.datamodule)
+    dm_kwargs.setdefault("num_actors", args.num_actors)
+    dm_kwargs.setdefault("num_lanes", args.num_lanes)
+    datamodule = DataModuleNuArgoMix(**dm_kwargs)
+    steps_per_epoch = max(1, len(datamodule.train_loader()))
+
+    model = build_model(cfg)
+    losses = [(n, w, fn) for n, w, fn in build_losses(cfg)]
+    metrics = make_metrics(
+        [n for n, _ in cfg.metric_specs],
+        [dict(a) for _, a in cfg.metric_specs],
+    )
+    optimizer = build_optimizer(cfg.training, steps_per_epoch)
+
+    mesh = mesh_lib.make_mesh(n_model=1)
+    example = next(iter(datamodule.train_loader()))
+    example = mesh_lib.shard_batch(example, mesh)
+    state = create_train_state(model, optimizer, example, seed=args.seed)
+    state = jax.device_put(state, mesh_lib.replicated(mesh))
+
+    checkpointer = CheckpointManager(os.path.join(run_dir, "checkpoints"))
+    if args.ckpt:
+        state = checkpointer.restore(state, args.ckpt)
+    elif args.wonly:
+        state = state.replace(params=checkpointer.restore_params(state.params, args.wonly))
+
+    trainer = Trainer(
+        model=model,
+        optimizer=optimizer,
+        losses=losses,
+        metrics=metrics,
+        logger=ExperimentLogger(run_dir),
+        checkpointer=checkpointer,
+        monitor=args.monitor,
+    )
+    max_epochs = args.epochs or cfg.training.get("max_epochs", 1)
+
+    def train_batches():
+        for batch in datamodule.train_loader():
+            yield mesh_lib.shard_batch(batch, mesh)
+
+    def val_batches():
+        for batch in datamodule.val_loader():
+            yield mesh_lib.shard_batch(batch, mesh)
+
+    trainer.fit(state, train_batches, val_batches, max_epochs=max_epochs)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,206 @@
+"""Mixed-domain dataset + datamodule (host-side input pipeline).
+
+Re-designs the reference runtime data layer
+(``dataset/Datamodule_nuargo_mix.py``, ``dataset/nuScenes_Argoverse/
+nuScenes_Argoverse.py``) for static-shape device feeding:
+
+* per-scene ``.npz`` shards (domain-native arrays, the output of
+  :mod:`trajsde_tpu.data.preprocess`) are listed per domain and mixed with
+  ``source`` ∈ {0 = nuScenes, 1 = Argoverse} (``nuScenes_Argoverse.py:72-85``);
+* each scene is grid-aligned (:mod:`trajsde_tpu.data.grid`), optionally
+  flip-augmented (:mod:`trajsde_tpu.data.augment`), then packed into dense
+  ``SceneBatch``es of a fixed (A, L) bucket (:mod:`trajsde_tpu.data.pack`);
+* a background thread prefetches packed batches so host packing overlaps
+  device compute (the analog of the reference's 32 dataloader workers —
+  the heavy copy loop can be delegated to the C++ packer in
+  :mod:`trajsde_tpu.runtime`).
+"""
+from __future__ import annotations
+
+import os
+import queue
+import threading
+from typing import Dict, Iterator, List, Optional
+
+import numpy as np
+
+from trajsde_tpu.data.augment import random_flip
+from trajsde_tpu.data.grid import align_to_grid
+from trajsde_tpu.data.pack import pack_scenes
+
+SPLIT_NAME = {
+    "nuScenes": {"train": "train", "val": "val", "test": "val"},
+    "Argoverse": {"train": "train", "val": "val", "test": "test_obs"},
+}
+
+
+def load_scene_npz(path: str) -> Dict[str, np.ndarray]:
+    with np.load(path, allow_pickle=False) as z:
+        return {k: z[k] for k in z.files}
+
+
+class NuArgoDataset:
+    """Mixed nuScenes+Argoverse dataset over preprocessed ``.npz`` scenes.
+
+    Registry analog of ``nuArgoDataset`` (``nuScenes_Argoverse.py:40-271``).
+    ``spec_args`` keys follow the reference config schema
+    (``tr_dataset_args``: type/nus/Argo/ref_time/random_flip/is_gtabs).
+    """
+
+    def __init__(
+        self,
+        split: str,
+        nu_dir: Optional[str] = None,
+        argo_dir: Optional[str] = None,
+        nus: bool = True,
+        argo: bool = True,
+        random_flip: bool = False,
+        is_gtabs: bool = True,
+        seed: int = 0,
+        **_unused,
+    ):
+        self.split = split
+        self.random_flip = random_flip
+        self.is_gtabs = is_gtabs
+        self._rng = np.random.default_rng(seed)
+        self.paths: List[str] = []
+        self.sources: List[int] = []
+        if nus and nu_dir:
+            d = os.path.join(nu_dir, SPLIT_NAME["nuScenes"][split])
+            files = sorted(f for f in os.listdir(d) if f.endswith(".npz")) if os.path.isdir(d) else []
+            self.paths += [os.path.join(d, f) for f in files]
+            self.sources += [0] * len(files)
+        if argo and argo_dir:
+            d = os.path.join(argo_dir, SPLIT_NAME["Argoverse"][split])
+            files = sorted(f for f in os.listdir(d) if f.endswith(".npz")) if os.path.isdir(d) else []
+            self.paths += [os.path.join(d, f) for f in files]
+            self.sources += [1] * len(files)
+
+    def __len__(self) -> int:
+        return len(self.paths)
+
+    def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        scene = load_scene_npz(self.paths[idx])
+        scene["source"] = np.int32(self.sources[idx])
+        scene = align_to_grid(scene, is_gtabs=self.is_gtabs)
+        if self.split == "train" and self.random_flip:
+            scene = random_flip(scene, self._rng)
+        return scene
+
+
+class BatchLoader:
+    """Shuffling, bucketed, prefetching batch iterator → ``SceneBatch``."""
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        num_actors: int,
+        num_lanes: int,
+        shuffle: bool = True,
+        drop_last: bool = True,
+        prefetch: int = 2,
+        seed: int = 0,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.num_actors = num_actors
+        self.num_lanes = num_lanes
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.prefetch = prefetch
+        self._rng = np.random.default_rng(seed)
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _batches_indices(self):
+        idx = np.arange(len(self.dataset))
+        if self.shuffle:
+            self._rng.shuffle(idx)
+        stop = (len(idx) // self.batch_size) * self.batch_size if self.drop_last else len(idx)
+        for i in range(0, stop, self.batch_size):
+            yield idx[i : i + self.batch_size]
+
+    def __iter__(self) -> Iterator:
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        SENTINEL = object()
+
+        def producer():
+            try:
+                for batch_idx in self._batches_indices():
+                    scenes = [self.dataset[int(i)] for i in batch_idx]
+                    q.put(pack_scenes(scenes, self.num_actors, self.num_lanes))
+            finally:
+                q.put(SENTINEL)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is SENTINEL:
+                break
+            yield item
+
+
+class DataModuleNuArgoMix:
+    """Config-compatible datamodule (``Datamodule_nuargo_mix.py:14-44``).
+
+    Accepts the reference kwargs (``nu_dir``/``Argo_dir``/batch sizes/
+    ``tr_dataset_args``/...) plus dense-packing knobs ``num_actors`` /
+    ``num_lanes``.
+    """
+
+    def __init__(
+        self,
+        nu_dir: Optional[str] = None,
+        Argo_dir: Optional[str] = None,
+        train_batch_size: int = 32,
+        val_batch_size: int = 32,
+        num_actors: int = 48,
+        num_lanes: int = 192,
+        shuffle: bool = True,
+        tr_dataset_args: Optional[dict] = None,
+        val_dataset_args: Optional[dict] = None,
+        test_dataset_args: Optional[dict] = None,
+        **_unused,
+    ):
+        def mk(split, args):
+            args = dict(args or {})
+            return NuArgoDataset(
+                split,
+                nu_dir=nu_dir,
+                argo_dir=Argo_dir,
+                nus=args.get("nus", True),
+                argo=args.get("Argo", True),
+                random_flip=args.get("random_flip", False),
+                is_gtabs=args.get("is_gtabs", True),
+            )
+
+        self.train_dataset = mk("train", tr_dataset_args)
+        self.val_dataset = mk("val", val_dataset_args)
+        self.test_dataset = mk("test", test_dataset_args)
+        self.train_batch_size = train_batch_size
+        self.val_batch_size = val_batch_size
+        self.num_actors = num_actors
+        self.num_lanes = num_lanes
+        self.shuffle = shuffle
+
+    def train_loader(self) -> BatchLoader:
+        return BatchLoader(
+            self.train_dataset, self.train_batch_size, self.num_actors,
+            self.num_lanes, shuffle=self.shuffle,
+        )
+
+    def val_loader(self) -> BatchLoader:
+        return BatchLoader(
+            self.val_dataset, self.val_batch_size, self.num_actors,
+            self.num_lanes, shuffle=False, drop_last=False,
+        )
+
+    def test_loader(self) -> BatchLoader:
+        return BatchLoader(
+            self.test_dataset, self.val_batch_size, self.num_actors,
+            self.num_lanes, shuffle=False, drop_last=False,
+        )

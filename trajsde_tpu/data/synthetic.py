@@ -27,6 +27,10 @@ TH, TF = 21, 60
 REF_TIME = 20
 NUS_SCALE = 5.0
 
+# domain-native step counts (what the offline preprocessors emit):
+# nuScenes 2 Hz: 5 past (incl. ref) + 12 future; Argoverse 10 Hz: 20 + 30
+DOMAIN_STEPS = {0: (5, 12), 1: (20, 30)}
+
 
 def grid_masks(source: int) -> tuple:
     """(past_slots [21] bool, fut_slots [60] bool) for a domain.
@@ -42,6 +46,80 @@ def grid_masks(source: int) -> tuple:
         past[1:] = True                  # ts −19..0 → slots 1..20
         fut[:30] = True                  # ts 1..30 → slots 0..29
     return past, fut
+
+
+def make_raw_scene(
+    rng: np.random.Generator,
+    source: int,
+    num_actors: int = 12,
+    num_lanes: int = 24,
+    lane_poses: int = 10,
+) -> dict:
+    """Synthesize one DOMAIN-NATIVE scene dict — the serialized output
+    format of the offline preprocessors (``Argoverse_abs.py:263-281``-style
+    fields with per-domain step counts), BEFORE grid alignment.
+
+    ``x`` holds past displacements relative to the reference position,
+    ``y`` absolute future offsets from it, ``positions`` absolute poses —
+    all unscaled meters (the ÷5 nuScenes scaling happens at load time).
+    """
+    tp, tf = DOMAIN_STEPS[source]
+    tt = tp + tf
+    N, L, S = num_actors, num_lanes, lane_poses
+    dt = 0.5 if source == 0 else 0.1
+
+    positions = np.zeros((N, tt, 2), np.float32)
+    padding = np.ones((N, tt), bool)
+    bos = np.zeros((N, tp), bool)
+    angles = np.zeros((N,), np.float32)
+    for a in range(N):
+        p0 = rng.uniform(-40, 40, 2).astype(np.float32)
+        vel = rng.uniform(-8, 8, 2).astype(np.float32)
+        t_axis = (np.arange(tt) - (tp - 1)) * dt
+        positions[a] = p0[None] + vel[None] * t_axis[:, None]
+        angles[a] = np.arctan2(vel[1], vel[0])
+        start = 0 if a == 0 else int(rng.integers(0, tp))
+        padding[a, start:] = False
+        if rng.uniform() < 0.15 and a != 0:
+            padding[a, tp:] = True
+        positions[a][padding[a]] = 0.0
+        bos[a, start] = True
+
+    ref = positions[:, tp - 1]
+    x = positions[:, :tp] - ref[:, None]
+    x[padding[:, :tp]] = 0.0
+    y = positions[:, tp:] - ref[:, None]
+    y[padding[:, tp:]] = 0.0
+
+    lane_positions = np.zeros((L, S, 2), np.float32)
+    lane_paddings = np.ones((L, S), bool)
+    for l in range(L):
+        start = rng.uniform(-60, 60, 2).astype(np.float32)
+        d = rng.uniform(-np.pi, np.pi)
+        dvec = np.array([np.cos(d), np.sin(d)], np.float32)
+        n_pose = int(rng.integers(2, S + 1))
+        lane_positions[l, :n_pose] = start[None] + dvec[None] * np.arange(
+            n_pose, dtype=np.float32
+        )[:, None]
+        lane_paddings[l, :n_pose] = False
+
+    scene = dict(
+        x=x.astype(np.float32),
+        y=y.astype(np.float32),
+        positions=positions,
+        padding_mask=padding,
+        bos_mask=bos,
+        rotate_angles=angles,
+        agent_index=np.int32(0),
+        av_index=np.int32(0),
+        theta=np.float32(rng.uniform(-np.pi, np.pi)),
+        lane_positions=lane_positions,
+        lane_paddings=lane_paddings,
+        source=np.int32(source),
+    )
+    if source == 0:
+        scene["category"] = rng.integers(0, 9, size=N).astype(np.int32)
+    return scene
 
 
 def make_scene_batch(

@@ -28,6 +28,18 @@ class PredictionModel(nn.Module):
     aggregator: nn.Module
     decoder: nn.Module
     rotate: bool = True
+    # optional device mesh: when set, the per-mode activations
+    # ([B, F, A, D] and the decoder rollout state) are sharded over the
+    # mesh's 'model' axis in addition to batch-over-'data' (the modes axis
+    # is this architecture's natural tensor-parallel dimension)
+    mesh: Optional[Any] = None
+
+    def _constrain(self, global_embed: jax.Array) -> jax.Array:
+        if self.mesh is None:
+            return global_embed
+        from trajsde_tpu.parallel.mesh import constrain_modes
+
+        return constrain_modes(global_embed, self.mesh)
 
     def _rotated_y(self, scene: SceneBatch) -> Optional[jax.Array]:
         if scene.y is None:
@@ -41,7 +53,9 @@ class PredictionModel(nn.Module):
         self, scene: SceneBatch, deterministic: bool = True
     ) -> Dict[str, Any]:
         local_embed = self.encoder(scene, deterministic)
-        global_embed = self.aggregator(scene, local_embed, deterministic)
+        global_embed = self._constrain(
+            self.aggregator(scene, local_embed, deterministic)
+        )
         out = self.decoder(scene, local_embed, global_embed, deterministic)
         out["y"] = self._rotated_y(scene)
         return out
@@ -64,7 +78,9 @@ class PredictionModelSDENet(PredictionModel):
             local_embed, diff_in, diff_out, label_in, label_out = self.encoder(
                 scene, deterministic
             )
-        global_embed = self.aggregator(scene, local_embed, deterministic)
+        global_embed = self._constrain(
+            self.aggregator(scene, local_embed, deterministic)
+        )
         out = self.decoder(scene, local_embed, global_embed, deterministic)
         out["y"] = self._rotated_y(scene)
         if ood:

@@ -35,9 +35,9 @@ class TrainState:
 def create_train_state(model, optimizer, example_scene: SceneBatch, seed: int = 0):
     key = jax.random.key(seed)
     pkey, skey, rest = jax.random.split(key, 3)
-    variables = model.init({"params": pkey, "sde": skey}, example_scene)
+    variables = jax.jit(model.init)({"params": pkey, "sde": skey}, example_scene)
     params = variables["params"]
-    opt_state = optimizer.init(params)
+    opt_state = jax.jit(optimizer.init)(params)
     return TrainState(
         params=params, opt_state=opt_state, step=jnp.zeros((), jnp.int32), key=rest
     )
