@@ -57,8 +57,16 @@ def pack_scenes(
     num_lanes: int,
     lane_poses: int = 10,
     as_jax: bool = True,
+    use_native: bool = True,
 ) -> SceneBatch:
-    """Pad/truncate grid-aligned scene dicts into one dense batch."""
+    """Pad/truncate grid-aligned scene dicts into one dense batch.
+
+    ``use_native=True`` routes the gather-copy inner loop through the C++
+    packer (:mod:`trajsde_tpu.runtime`) when its library is available.
+    """
+    from trajsde_tpu import runtime
+
+    native = use_native and runtime.available()
     B, A, L, S = len(scenes), num_actors, num_lanes, lane_poses
     T = TH + TF
 
@@ -77,30 +85,43 @@ def pack_scenes(
     lane_valid = np.zeros((B, L), bool)
     has_y = any(s.get("y") is not None for s in scenes)
 
+    dst = dict(
+        x=x, y=y, positions=positions, padding=padding, bos=bos,
+        angles=angles, actor_valid=actor_valid,
+        lane_positions=lane_positions, lane_paddings=lane_paddings,
+        lane_valid=lane_valid,
+    )
+
     for b, scene in enumerate(scenes):
-        order = _actor_keep_order(scene)[:A]
+        order = _actor_keep_order(scene)[:A].astype(np.int32)
         n = order.shape[0]
         inv = {int(o): i for i, o in enumerate(order)}
-        x[b, :n] = scene["x"][order]
-        if scene.get("y") is not None:
-            y[b, :n] = scene["y"][order]
-        positions[b, :n] = scene["positions"][order]
-        padding[b, :n] = scene["padding_mask"][order]
-        bos[b, :n] = scene["bos_mask"][order]
-        angles[b, :n] = scene["rotate_angles"][order]
-        actor_valid[b, :n] = True
+        lorder = _lane_keep_order(scene)[:L].astype(np.int32)
+        m = lorder.shape[0]
+
+        if native:
+            from trajsde_tpu import runtime
+
+            runtime.pack_scene_actors(scene, order, dst, b, TH, TF)
+            runtime.pack_scene_lanes(scene, lorder, dst, b, S)
+        else:
+            x[b, :n] = scene["x"][order]
+            if scene.get("y") is not None:
+                y[b, :n] = scene["y"][order]
+            positions[b, :n] = scene["positions"][order]
+            padding[b, :n] = scene["padding_mask"][order]
+            bos[b, :n] = scene["bos_mask"][order]
+            angles[b, :n] = scene["rotate_angles"][order]
+            actor_valid[b, :n] = True
+            lp = scene["lane_positions"][lorder]
+            lpad = scene["lane_paddings"][lorder].astype(bool)
+            s_in = min(S, lp.shape[1])
+            lane_positions[b, :m, :s_in] = lp[:, :s_in]
+            lane_paddings[b, :m, :s_in] = lpad[:, :s_in]
+            lane_valid[b, :m] = ~lpad[:, :s_in].all(-1)
         agent_index[b] = inv[int(scene["agent_index"])]
         av_index[b] = inv.get(int(scene["av_index"]), 0)
         source[b] = int(scene["source"])
-
-        lorder = _lane_keep_order(scene)[:L]
-        m = lorder.shape[0]
-        lp = scene["lane_positions"][lorder]
-        lpad = scene["lane_paddings"][lorder].astype(bool)
-        s_in = min(S, lp.shape[1])
-        lane_positions[b, :m, :s_in] = lp[:, :s_in]
-        lane_paddings[b, :m, :s_in] = lpad[:, :s_in]
-        lane_valid[b, :m] = ~lpad.all(-1)
 
     conv = jnp.asarray if as_jax else (lambda a: a)
     return SceneBatch(
