@@ -1,0 +1,58 @@
+"""Jittable on-device SceneBatch transforms.
+
+* :func:`ts_drop` — random historical-timestep masking regularization
+  (``models/model_base_mix.py:96-101``): each historical step is dropped
+  with probability ``rate``, except begin-of-sequence steps and the
+  reference (last historical) step; dropped steps zero the features and
+  join the padding mask.
+* :func:`leave_only_agent` — restrict a batch to its focal agents
+  (``model_base_mix.py:170-204``): in the dense formulation this is a
+  1-actor batch whose single slot is each scene's agent.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from trajsde_tpu.data.scene import SceneBatch
+
+
+def ts_drop(scene: SceneBatch, rate: float, key: jax.Array) -> SceneBatch:
+    Th = scene.historical_steps
+    drop = jax.random.uniform(key, scene.bos_mask.shape) < rate
+    drop = drop & ~scene.bos_mask
+    drop = drop.at[:, :, -1].set(False)
+    x = jnp.where(drop[..., None], 0.0, scene.x)
+    padding = scene.padding_mask.at[:, :, :Th].set(
+        scene.padding_mask[:, :, :Th] | drop
+    )
+    return dataclasses.replace(scene, x=x, padding_mask=padding)
+
+
+def _take(arr, idx, axis=1):
+    if arr is None:
+        return None
+    shape = [1] * arr.ndim
+    shape[0] = arr.shape[0]
+    bidx = idx.reshape(shape).astype(jnp.int32)
+    bidx = jnp.broadcast_to(bidx, arr.shape[:axis] + (1,) + arr.shape[axis + 1 :])
+    return jnp.take_along_axis(arr, bidx, axis=axis)
+
+
+def leave_only_agent(scene: SceneBatch) -> SceneBatch:
+    idx = scene.agent_index
+    zeros = jnp.zeros_like(scene.agent_index)
+    return dataclasses.replace(
+        scene,
+        x=_take(scene.x, idx),
+        y=_take(scene.y, idx),
+        positions=_take(scene.positions, idx),
+        padding_mask=_take(scene.padding_mask, idx),
+        bos_mask=_take(scene.bos_mask, idx),
+        rotate_angles=_take(scene.rotate_angles, idx),
+        actor_valid=_take(scene.actor_valid, idx),
+        agent_index=zeros,
+        av_index=zeros,
+    )

@@ -26,6 +26,31 @@ class SingleInputEmbedding(nn.Module):
         return x
 
 
+class MultipleInputConcatEmbedding(nn.Module):
+    """Concat variant: per-input half-width MLPs concatenated then
+    aggregated (``embedding.py:72-99`` — present in the reference, unused
+    by its shipped configs)."""
+
+    out_channel: int
+
+    @nn.compact
+    def __call__(self, inputs: Sequence[jnp.ndarray]) -> jnp.ndarray:
+        half = self.out_channel // 2
+        embedded = []
+        for i, x in enumerate(inputs):
+            h = nn.Dense(half, kernel_init=XAVIER, name=f"in{i}_dense0")(x)
+            h = nn.LayerNorm(epsilon=LN_EPS, name=f"in{i}_ln0")(h)
+            h = nn.relu(h)
+            h = nn.Dense(half, kernel_init=XAVIER, name=f"in{i}_dense1")(h)
+            embedded.append(h)
+        out = jnp.concatenate(embedded, axis=-1)
+        out = nn.LayerNorm(epsilon=LN_EPS, name="aggr_ln0")(out)
+        out = nn.relu(out)
+        out = nn.Dense(self.out_channel, kernel_init=XAVIER, name="aggr_dense")(out)
+        out = nn.LayerNorm(epsilon=LN_EPS, name="aggr_ln1")(out)
+        return out
+
+
 class MultipleInputEmbedding(nn.Module):
     """Per-input 2-layer MLPs summed, then aggregated (``embedding.py:43-70``)."""
 

@@ -67,6 +67,46 @@ def euler_maruyama(
     return ys, gs
 
 
+def euler_maruyama_logqp(
+    f: Callable[[jax.Array, jax.Array], jax.Array],
+    g: Callable[[jax.Array, jax.Array], jax.Array],
+    h: Callable[[jax.Array, jax.Array], jax.Array],
+    y0: jax.Array,
+    ts: jax.Array,
+    key: jax.Array,
+) -> Tuple[jax.Array, jax.Array]:
+    """Latent-SDE integration with the KL (logqp) path penalty.
+
+    Capability analog of the reference's augmented solver
+    (``models/utils/sde_utils.py:77-209`` — ``f_aug``/``g_aug``): the state
+    is augmented with the running log-ratio between the posterior (drift
+    ``f``) and prior (drift ``h``) path measures under shared diffusion
+    ``g``:  dKL = ½ ‖(f − h) / g‖² dt.  The reference ships BCE instead of
+    this KL loss (SURVEY §2.5) but retains the machinery; here it is a
+    first-class option.
+
+    Returns (ys [T, ..., D], kl [...]) — the terminal KL per sample row.
+    """
+    t0s = ts[:-1]
+    dts = ts[1:] - ts[:-1]
+    steps = jnp.arange(t0s.shape[0])
+    kl0 = jnp.zeros(y0.shape[:-1], y0.dtype)
+
+    def body(carry, inputs):
+        y, kl = carry
+        i, t0, dt = inputs
+        eps = jax.random.normal(jax.random.fold_in(key, i), y.shape, y.dtype)
+        drift = f(t0, y)
+        diff = g(t0, y)
+        u = (drift - h(t0, y)) / jnp.maximum(jnp.abs(diff), 1e-6)
+        kl = kl + 0.5 * jnp.sum(u * u, axis=-1) * dt
+        y1 = y + drift * dt + diff * (jnp.sqrt(dt) * eps)
+        return (y1, kl), y1
+
+    (_, kl), ys = jax.lax.scan(body, (y0, kl0), (steps, t0s, dts))
+    return ys, kl
+
+
 def ou_moments(y0: jax.Array, theta: float, mu: float, sigma: float, t: jax.Array):
     """Analytic mean/var of the Ornstein–Uhlenbeck process (test oracle).
 
