@@ -18,15 +18,20 @@ from trajsde_tpu.models.layers import LN_EPS, XAVIER
 from trajsde_tpu.models.sde import SDEStep, decoder_time_grid, scanned
 
 
-def _mlp_head(dims, name_prefix: str):
-    """Dense→LN→ReLU stacks with a final plain Dense (reference head shape)."""
+def _mlp_head(dims, name_prefix=None):
+    """Dense→LN→ReLU stacks with a final plain Dense (reference head shape).
+
+    ``name_prefix=None`` for setup-context creation (linen derives names
+    from the attribute; explicit names are only legal in compact modules).
+    """
+    def nm(suffix):
+        return {"name": f"{name_prefix}_{suffix}"} if name_prefix else {}
+
     layers = []
     for i, d in enumerate(dims[:-1]):
-        layers.append(nn.Dense(d, kernel_init=XAVIER, name=f"{name_prefix}_dense{i}"))
-        layers.append(nn.LayerNorm(epsilon=LN_EPS, name=f"{name_prefix}_ln{i}"))
-    layers.append(
-        nn.Dense(dims[-1], kernel_init=XAVIER, name=f"{name_prefix}_dense{len(dims) - 1}")
-    )
+        layers.append(nn.Dense(d, kernel_init=XAVIER, **nm(f"dense{i}")))
+        layers.append(nn.LayerNorm(epsilon=LN_EPS, **nm(f"ln{i}")))
+    layers.append(nn.Dense(dims[-1], kernel_init=XAVIER, **nm(f"dense{len(dims) - 1}")))
     return layers
 
 
@@ -109,7 +114,53 @@ class SDEDecoder(nn.Module):
     rtol: float = 1e-3
     atol: float = 1e-3
 
-    @nn.compact
+    def setup(self):
+        D = self.local_channels
+        self.aggr_dense = nn.Dense(D, kernel_init=XAVIER)
+        self.aggr_ln = nn.LayerNorm(epsilon=LN_EPS)
+        self.sde_rollout = scanned(
+            SDEStep, None, embed_dim=D, sde_layers=self.sde_layers
+        )
+        self.loc_layers = _mlp_head([D, 2])
+        self.pi_layers = _mlp_head([D, 1])
+        if self.uncertain:
+            self.scale_layers = _mlp_head([D, 2])
+
+    def time_grid(self):
+        return decoder_time_grid(self.future_steps, self.max_fut_t)
+
+    def fuse(
+        self, scene: SceneBatch, local_embed: jax.Array, global_embed: jax.Array
+    ) -> jax.Array:
+        """Initial rollout state ``y0 [B, F, A, D]`` (``dec_hivt_nusargo_sde.py:82-86``)."""
+        local_exp = jnp.broadcast_to(local_embed[:, None], global_embed.shape)
+        h = self.aggr_dense(jnp.concatenate([global_embed, local_exp], axis=-1))
+        return nn.relu(self.aggr_ln(h))
+
+    def decode(
+        self,
+        scene: SceneBatch,
+        sol: jax.Array,
+        local_embed: jax.Array,
+        global_embed: jax.Array,
+    ) -> Dict[str, jax.Array]:
+        """Per-step latents ``sol [B, F, A, Tf, D]`` → output dict."""
+        Tf = self.future_steps
+        local_exp = jnp.broadcast_to(local_embed[:, None], global_embed.shape)
+        loc = _apply_head(self.loc_layers, sol)            # [B, F, A, Tf, 2]
+        pi = _apply_head(
+            self.pi_layers, jnp.concatenate([local_exp, global_embed], axis=-1)
+        )
+        pi = jnp.transpose(pi[..., 0], (0, 2, 1))          # [B, A, F]
+        if self.uncertain:
+            scale = nn.elu(_apply_head(self.scale_layers, sol)) + 1.0 + self.min_scale
+            loc = jnp.concatenate([loc, scale], axis=-1)
+        return {
+            "loc": loc,
+            "pi": pi,
+            "reg_mask": ~scene.padding_mask[:, :, -Tf:],
+        }
+
     def __call__(
         self,
         scene: SceneBatch,
@@ -117,35 +168,8 @@ class SDEDecoder(nn.Module):
         global_embed: jax.Array,
         deterministic: bool = True,
     ) -> Dict[str, jax.Array]:
-        D = self.local_channels
-        B, F, A = global_embed.shape[:3]
-        Tf = self.future_steps
-        local_exp = jnp.broadcast_to(local_embed[:, None], global_embed.shape)
-
-        h = nn.Dense(D, kernel_init=XAVIER, name="aggr_dense")(
-            jnp.concatenate([global_embed, local_exp], axis=-1)
-        )
-        y0 = nn.relu(nn.LayerNorm(epsilon=LN_EPS, name="aggr_ln")(h))  # [B, F, A, D]
-
-        t0s, dts = decoder_time_grid(Tf, self.max_fut_t)
-        rollout = scanned(SDEStep, "sde_rollout", embed_dim=D, sde_layers=self.sde_layers)
-        _, ys = rollout(y0, (t0s, dts))                    # [Tf, B, F, A, D]
+        y0 = self.fuse(scene, local_embed, global_embed)
+        t0s, dts = self.time_grid()
+        _, ys = self.sde_rollout(y0, (t0s, dts))           # [Tf, B, F, A, D]
         sol = jnp.transpose(ys, (1, 2, 3, 0, 4))           # [B, F, A, Tf, D]
-
-        loc_layers = _mlp_head([D, 2], "decoder")
-        loc = _apply_head(loc_layers, sol)                 # [B, F, A, Tf, 2]
-
-        pi_layers = _mlp_head([D, 1], "pi")
-        pi = _apply_head(pi_layers, jnp.concatenate([local_exp, global_embed], axis=-1))
-        pi = jnp.transpose(pi[..., 0], (0, 2, 1))          # [B, A, F]
-
-        if self.uncertain:
-            scale_layers = _mlp_head([D, 2], "scale")
-            scale = nn.elu(_apply_head(scale_layers, sol)) + 1.0 + self.min_scale
-            loc = jnp.concatenate([loc, scale], axis=-1)
-
-        return {
-            "loc": loc,
-            "pi": pi,
-            "reg_mask": ~scene.padding_mask[:, :, -Tf:],
-        }
+        return self.decode(scene, sol, local_embed, global_embed)

@@ -135,8 +135,12 @@ class SDEStep(nn.Module):
         return y1, y1
 
 
-def scanned(step_cls, name: str, **kwargs):
-    """Wrap a step module in ``nn.scan`` with shared params + split sde rngs."""
+def scanned(step_cls, name=None, **kwargs):
+    """Wrap a step module in ``nn.scan`` with shared params + split sde rngs.
+
+    ``name=None`` for setup-context creation (the attribute provides the
+    name); pass an explicit name only from compact modules.
+    """
     scan = nn.scan(
         step_cls,
         variable_broadcast="params",
@@ -144,6 +148,8 @@ def scanned(step_cls, name: str, **kwargs):
         in_axes=0,
         out_axes=0,
     )
+    if name is None:
+        return scan(**kwargs)
     return scan(name=name, **kwargs)
 
 

@@ -1,0 +1,214 @@
+"""Fused Euler–Maruyama rollout as a single Pallas TPU kernel.
+
+The decoder's 60-step latent-SDE rollout (``dec_hivt_nusargo_sde.py:88``)
+is the serving-path hot loop.  The ``lax.scan`` formulation round-trips
+the state and per-step MLP activations through HBM every step; this kernel
+keeps the state tile and ALL drift/diffusion weights resident in VMEM for
+the whole trajectory — one HBM read of ``y0`` + weights, one HBM write per
+step of the output — and generates Brownian increments on-core with the
+TPU PRNG (Box–Muller over ``prng_random_bits``).
+
+Layout: rows = flattened ``B·F·A`` samples (tiled by ``block_rows``),
+lanes = the latent dim (64).  Per step, the drift MLP
+(``Linear(D+2→D) + sde_layers×(tanh, Linear(D→D))``) and the scalar
+diffusion MLP run as ``[R,D]×[D,D]`` MXU matmuls; the ``sin t``/``cos t``
+time features enter as precomputed per-step rank-1 bias terms, avoiding
+the concat.
+
+Training keeps the differentiable scan path; this kernel is the
+inference/serving fast path (both paths share the same parameters — see
+:func:`rollout_params_from_linen`).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LN2PI = float(np.log(2.0 * np.pi))
+
+
+def _uniform(shape):
+    """(0,1) uniforms from the on-core PRNG (24-bit mantissa path).
+
+    ``prng_random_bits`` yields signed int32 — bitcast to uint32 BEFORE the
+    shift so it is logical, not arithmetic (sign extension would fold half
+    the mass onto the clip boundary and break Box–Muller).
+    """
+    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    u = (bits >> 8).astype(jnp.float32) * (1.0 / (1 << 24))
+    return jnp.clip(u, 1.0 / (1 << 24), 1.0 - 1.0 / (1 << 24))
+
+
+def _normal(shape):
+    """Standard normals via Box–Muller."""
+    u1 = _uniform(shape)
+    u2 = _uniform(shape)
+    r = jnp.sqrt(-2.0 * jnp.log(u1))
+    return r * jnp.cos(2.0 * jnp.pi * u2)
+
+
+def _rollout_kernel(
+    # scalar-prefetch
+    seed_ref,
+    # inputs
+    y0_ref, sin_ref, cos_ref, t_dt_ref,
+    wf0_ref, wf0t_ref, bf0_ref, wf1_ref, bf1_ref, wf2_ref, bf2_ref,
+    wg0_ref, wg0t_ref, bg0_ref, wg1_ref, bg1_ref, wgo_ref, bgo_ref,
+    *refs,
+    num_steps: int,
+    use_prng: bool,
+):
+    # trailing refs: optional explicit-noise input [T, R, D], then output
+    if use_prng:
+        (out_ref,) = refs
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    else:
+        noise_ref, out_ref = refs
+    y = y0_ref[:]  # [R, D]
+
+    def step(i, y):
+        s = sin_ref[i, 0]
+        c = cos_ref[i, 0]
+        dt = t_dt_ref[i, 0]
+        sqrt_dt = t_dt_ref[i, 1]
+
+        # drift MLP: dense0 (+ time-feature rank-1 terms) → tanh → dense1
+        # → tanh → dense2
+        tf = s * wf0t_ref[0, :] + c * wf0t_ref[1, :]
+        h = jnp.dot(y, wf0_ref[:], preferred_element_type=jnp.float32)
+        h = jnp.tanh(h + tf + bf0_ref[0, :])
+        h = jnp.dot(h, wf1_ref[:], preferred_element_type=jnp.float32)
+        h = jnp.tanh(h + bf1_ref[0, :])
+        f = jnp.dot(h, wf2_ref[:], preferred_element_type=jnp.float32) + bf2_ref[0, :]
+
+        # diffusion MLP → scalar sigmoid
+        tg = s * wg0t_ref[0, :] + c * wg0t_ref[1, :]
+        hg = jnp.dot(y, wg0_ref[:], preferred_element_type=jnp.float32)
+        hg = jnp.tanh(hg + tg + bg0_ref[0, :])
+        hg = jnp.dot(hg, wg1_ref[:], preferred_element_type=jnp.float32)
+        hg = jnp.tanh(hg + bg1_ref[0, :])
+        g = jax.nn.sigmoid(
+            jnp.dot(hg, wgo_ref[:], preferred_element_type=jnp.float32) + bgo_ref[0, :]
+        )  # [R, 1]
+
+        z = _normal(y.shape) if use_prng else noise_ref[i, :, :]
+        y1 = y + f * dt + g * (sqrt_dt * z)
+        out_ref[i, :, :] = y1
+        return y1
+
+    jax.lax.fori_loop(0, num_steps, step, y)
+
+
+def rollout_params_from_linen(step_params: Dict) -> Dict[str, jax.Array]:
+    """Split the linen ``SDEStep`` parameters for the kernel layout.
+
+    ``dense0`` kernels are [D+2, D]: rows 0..D-1 multiply ``y``, rows D/D+1
+    multiply ``sin t`` / ``cos t`` (matching ``_time_feats`` concat order in
+    :mod:`trajsde_tpu.models.sde`).
+    """
+    f, g = step_params["f_func"], step_params["g_func"]
+    D = f["dense0"]["kernel"].shape[1]
+    return dict(
+        wf0=f["dense0"]["kernel"][:D],
+        wf0t=f["dense0"]["kernel"][D:],
+        bf0=f["dense0"]["bias"][None],
+        wf1=f["dense1"]["kernel"],
+        bf1=f["dense1"]["bias"][None],
+        wf2=f["dense2"]["kernel"],
+        bf2=f["dense2"]["bias"][None],
+        wg0=g["dense0"]["kernel"][:D],
+        wg0t=g["dense0"]["kernel"][D:],
+        bg0=g["dense0"]["bias"][None],
+        wg1=g["dense1"]["kernel"],
+        bg1=g["dense1"]["bias"][None],
+        wgo=g["dense_out"]["kernel"],
+        bgo=g["dense_out"]["bias"][None],
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_steps", "block_rows", "interpret")
+)
+def sde_rollout(
+    y0: jax.Array,            # [N, D]
+    params: Dict[str, jax.Array],
+    t0s: jax.Array,           # [T]
+    dts: jax.Array,           # [T]
+    seed: jax.Array,          # int32 scalar
+    num_steps: int,
+    block_rows: int = 128,
+    interpret: bool = False,
+    noise: jax.Array = None,  # optional [T, N, D] explicit increments
+) -> jax.Array:
+    """Run the fused rollout; returns ``ys [T, N, D]`` (post-step states).
+
+    ``noise=None`` draws Brownian increments from the on-core TPU PRNG
+    (Box–Muller); passing explicit standard normals supports determinism
+    tests and the CPU interpreter (which lacks the PRNG primitives).
+    """
+    N, D = y0.shape
+    R = min(block_rows, N)
+    pad = (-N) % R
+    if pad:
+        y0 = jnp.concatenate([y0, jnp.zeros((pad, D), y0.dtype)])
+        if noise is not None:
+            noise = jnp.concatenate(
+                [noise, jnp.zeros((num_steps, pad, D), noise.dtype)], axis=1
+            )
+    Np = y0.shape[0]
+    use_prng = noise is None
+
+    sin_t = jnp.sin(t0s)[:, None].astype(jnp.float32)
+    cos_t = jnp.cos(t0s)[:, None].astype(jnp.float32)
+    t_dt = jnp.stack([dts, jnp.sqrt(dts)], axis=-1).astype(jnp.float32)
+
+    def w_spec(arr):
+        # index maps under PrefetchScalarGridSpec receive (grid idx, scalar refs)
+        return pl.BlockSpec(
+            arr.shape, lambda i, s: (0,) * arr.ndim, memory_space=pltpu.VMEM
+        )
+
+    p = params
+    weights = [
+        p["wf0"], p["wf0t"], p["bf0"], p["wf1"], p["bf1"], p["wf2"], p["bf2"],
+        p["wg0"], p["wg0t"], p["bg0"], p["wg1"], p["bg1"], p["wgo"], p["bgo"],
+    ]
+
+    in_specs = [
+        pl.BlockSpec((R, D), lambda i, s: (i, 0), memory_space=pltpu.VMEM),
+        w_spec(sin_t),
+        w_spec(cos_t),
+        w_spec(t_dt),
+        *[w_spec(w) for w in weights],
+    ]
+    inputs = [y0, sin_t, cos_t, t_dt, *weights]
+    if not use_prng:
+        in_specs.append(
+            pl.BlockSpec(
+                (num_steps, R, D), lambda i, s: (0, i, 0), memory_space=pltpu.VMEM
+            )
+        )
+        inputs.append(noise.astype(jnp.float32))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(Np // R,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (num_steps, R, D), lambda i, s: (0, i, 0), memory_space=pltpu.VMEM
+        ),
+    )
+
+    out = pl.pallas_call(
+        functools.partial(_rollout_kernel, num_steps=num_steps, use_prng=use_prng),
+        out_shape=jax.ShapeDtypeStruct((num_steps, Np, D), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(jnp.atleast_1d(seed).astype(jnp.int32), *inputs)
+    return out[:, :N]

