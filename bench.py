@@ -26,7 +26,17 @@ WARMUP, ITERS = 2, 10
 BASELINE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_BASELINE.json")
 
 
+def _enable_compile_cache() -> None:
+    try:
+        from jax.experimental.compilation_cache import compilation_cache as cc
+
+        cc.set_cache_dir(os.environ.get("TRAJSDE_CACHE", "/tmp/jax_cache_trajsde"))
+    except Exception:
+        pass
+
+
 def main() -> None:
+    _enable_compile_cache()
     from __graft_entry__ import _build_flagship, _scene
     from trajsde_tpu.losses import diff_bce_loss, l2_loss
     from trajsde_tpu.train.loop import create_train_state, make_train_step

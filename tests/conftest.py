@@ -23,7 +23,7 @@ jax.config.update("jax_platforms", "cpu")
 
 # persistent compilation cache: makes repeated test runs fast on the
 # single-CPU CI host (each XLA compile costs ~0.4 s here)
-_cc.set_cache_dir("/tmp/jax_cache_trajsde")
+_cc.set_cache_dir("/tmp/jax_cache_trajsde_cpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 

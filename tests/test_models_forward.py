@@ -98,3 +98,20 @@ def test_sde_paths_reproducible(rng):
     np.testing.assert_array_equal(np.asarray(out1["loc"]), np.asarray(out2["loc"]))
     out3 = fwd(params, scene, jax.random.key(8))
     assert not np.allclose(np.asarray(out1["loc"]), np.asarray(out3["loc"]))
+
+
+def test_remat_forward_equivalence(rng):
+    """remat=True must be a pure memory/time tradeoff — identical outputs."""
+    scene = _scene(rng)
+    enc = LocalEncoderSDESep(historical_steps=TH, embed_dim=D, num_heads=8)
+    enc_r = LocalEncoderSDESep(historical_steps=TH, embed_dim=D, num_heads=8, remat=True)
+    rngs = {"params": jax.random.key(0), "sde": jax.random.key(1)}
+    params = jax.jit(enc.init)(rngs, scene)
+    out = jax.jit(lambda p, s, k: enc.apply(p, s, rngs={"sde": k}))(
+        params, scene, jax.random.key(2)
+    )
+    out_r = jax.jit(lambda p, s, k: enc_r.apply(p, s, rngs={"sde": k}))(
+        params, scene, jax.random.key(2)
+    )
+    np.testing.assert_allclose(np.asarray(out[0]), np.asarray(out_r[0]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out[1]), np.asarray(out_r[1]), atol=1e-6)

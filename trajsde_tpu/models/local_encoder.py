@@ -211,6 +211,7 @@ class LocalEncoder(nn.Module):
     node_dim: int = 2
     edge_dim: int = 2
     parallel: bool = True  # accepted for config parity; dense path is always "parallel"
+    remat: bool = False    # rematerialize the AA/AL pair tensors (memory ↓, FLOPs ↑)
 
     @nn.compact
     def __call__(self, scene: SceneBatch, deterministic: bool = True) -> jax.Array:
@@ -219,7 +220,10 @@ class LocalEncoder(nn.Module):
         x_t = jnp.transpose(scene.x, (0, 2, 1, 3))            # [B, Th, A, 2]
         rot = scene.rotate_mat()
 
-        aa_out = AAEncoder(
+        aa_cls = nn.remat(AAEncoder, static_argnums=(7,)) if self.remat else AAEncoder
+        al_cls = nn.remat(ALEncoder, static_argnums=(6,)) if self.remat else ALEncoder
+
+        aa_out = aa_cls(
             self.historical_steps,
             self.embed_dim,
             self.num_heads,
@@ -243,7 +247,7 @@ class LocalEncoder(nn.Module):
 
         al_mask, al_vec = graph.al_edges(scene, self.historical_steps - 1, self.local_radius)
         lane_feat = graph.lane_features(scene)
-        out = ALEncoder(self.embed_dim, self.num_heads, self.dropout, name="al_encoder")(
+        out = al_cls(self.embed_dim, self.num_heads, self.dropout, name="al_encoder")(
             out, lane_feat, al_vec, al_mask, rot, deterministic
         )
         return out

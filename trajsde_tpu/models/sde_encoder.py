@@ -68,9 +68,12 @@ class LocalEncoderSDESep(nn.Module):
     adaptive: bool = False
     rtol: float = 1e-3
     atol: float = 1e-3
+    remat: bool = False  # rematerialize the AA/AL pair tensors
 
     def setup(self):
-        self.aa_encoder = AAEncoder(
+        aa_cls = nn.remat(AAEncoder, static_argnums=(7,)) if self.remat else AAEncoder
+        al_cls = nn.remat(ALEncoder, static_argnums=(6,)) if self.remat else ALEncoder
+        self.aa_encoder = aa_cls(
             self.historical_steps,
             self.embed_dim,
             self.num_heads,
@@ -78,7 +81,7 @@ class LocalEncoderSDESep(nn.Module):
             input_diff=True,  # the reference SDE AAEncoder always substitutes bos
             name="aa_encoder",
         )
-        self.al_encoder = ALEncoder(
+        self.al_encoder = al_cls(
             self.embed_dim, self.num_heads, self.dropout, name="al_encoder"
         )
         self.sde_rnn = scanned(

@@ -40,8 +40,12 @@ def _uniform(shape):
     shift so it is logical, not arithmetic (sign extension would fold half
     the mass onto the clip boundary and break Box–Muller).
     """
-    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
-    u = (bits >> 8).astype(jnp.float32) * (1.0 / (1 << 24))
+    bits = pltpu.prng_random_bits(shape)  # int32
+    # LOGICAL shift (an arithmetic >> would sign-extend and fold half the
+    # mass onto the clip boundary, breaking Box–Muller); the result fits in
+    # 24 bits, so the int32→f32 cast is exact
+    mant = jax.lax.shift_right_logical(bits, 8)
+    u = mant.astype(jnp.float32) * (1.0 / (1 << 24))
     return jnp.clip(u, 1.0 / (1 << 24), 1.0 - 1.0 / (1 << 24))
 
 
@@ -53,6 +57,14 @@ def _normal(shape):
     return r * jnp.cos(2.0 * jnp.pi * u2)
 
 
+def _rademacher(shape):
+    """±1 two-point increments — weak-order-1 Euler keeps its convergence
+    order under any zero-mean unit-variance increment; one PRNG draw and
+    zero transcendentals (vs Box–Muller's log/sqrt/cos)."""
+    bits = pltpu.prng_random_bits(shape)
+    return jnp.where((bits & 1) == 0, -1.0, 1.0).astype(jnp.float32)
+
+
 def _rollout_kernel(
     # scalar-prefetch
     seed_ref,
@@ -62,21 +74,39 @@ def _rollout_kernel(
     wg0_ref, wg0t_ref, bg0_ref, wg1_ref, bg1_ref, wgo_ref, bgo_ref,
     *refs,
     num_steps: int,
+    unroll: int,
     use_prng: bool,
+    increments: str,
 ):
-    # trailing refs: optional explicit-noise input [T, R, D], then output
-    if use_prng:
-        (out_ref,) = refs
-        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
-    else:
-        noise_ref, out_ref = refs
-    y = y0_ref[:]  # [R, D]
+    """Grid = (row tiles, step blocks); the carry lives in a VMEM scratch.
 
-    def step(i, y):
-        s = sin_ref[i, 0]
-        c = cos_ref[i, 0]
-        dt = t_dt_ref[i, 0]
-        sqrt_dt = t_dt_ref[i, 1]
+    One grid iteration = ``unroll`` Euler–Maruyama steps on one row tile,
+    writing that block's outputs — VMEM holds only the carry + one output
+    block regardless of trajectory length, so tiles can be MXU-sized while
+    grid overhead stays at (tiles × steps/unroll) iterations.
+    Weight blocks are grid-invariant (fetched once).
+    """
+    if use_prng:
+        out_ref, y_ref = refs
+    else:
+        noise_ref, out_ref, y_ref = refs
+    tb = pl.program_id(1)
+
+    @pl.when(tb == 0)
+    def _():
+        y_ref[:] = y0_ref[:]
+        if use_prng:
+            # one stream per row tile; core PRNG state persists across the
+            # sequential step-block iterations
+            pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+
+    y = y_ref[:]
+    for k in range(unroll):
+        t = tb * unroll + k
+        s = sin_ref[t, 0]
+        c = cos_ref[t, 0]
+        dt = t_dt_ref[t, 0]
+        sqrt_dt = t_dt_ref[t, 1]
 
         # drift MLP: dense0 (+ time-feature rank-1 terms) → tanh → dense1
         # → tanh → dense2
@@ -97,12 +127,13 @@ def _rollout_kernel(
             jnp.dot(hg, wgo_ref[:], preferred_element_type=jnp.float32) + bgo_ref[0, :]
         )  # [R, 1]
 
-        z = _normal(y.shape) if use_prng else noise_ref[i, :, :]
-        y1 = y + f * dt + g * (sqrt_dt * z)
-        out_ref[i, :, :] = y1
-        return y1
-
-    jax.lax.fori_loop(0, num_steps, step, y)
+        if use_prng:
+            z = _normal(y.shape) if increments == "gaussian" else _rademacher(y.shape)
+        else:
+            z = noise_ref[k, :, :]
+        y = y + f * dt + g * (sqrt_dt * z)
+        out_ref[k, :, :] = y
+    y_ref[:] = y
 
 
 def rollout_params_from_linen(step_params: Dict) -> Dict[str, jax.Array]:
@@ -133,7 +164,8 @@ def rollout_params_from_linen(step_params: Dict) -> Dict[str, jax.Array]:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_steps", "block_rows", "interpret")
+    jax.jit,
+    static_argnames=("num_steps", "block_rows", "interpret", "unroll", "increments"),
 )
 def sde_rollout(
     y0: jax.Array,            # [N, D]
@@ -142,15 +174,19 @@ def sde_rollout(
     dts: jax.Array,           # [T]
     seed: jax.Array,          # int32 scalar
     num_steps: int,
-    block_rows: int = 128,
+    block_rows: int = 1024,
     interpret: bool = False,
     noise: jax.Array = None,  # optional [T, N, D] explicit increments
+    unroll: int = 6,
+    increments: str = "gaussian",
 ) -> jax.Array:
     """Run the fused rollout; returns ``ys [T, N, D]`` (post-step states).
 
-    ``noise=None`` draws Brownian increments from the on-core TPU PRNG
-    (Box–Muller); passing explicit standard normals supports determinism
-    tests and the CPU interpreter (which lacks the PRNG primitives).
+    ``noise=None`` draws Brownian increments from the on-core TPU PRNG —
+    ``increments='gaussian'`` (Box–Muller) or ``'rademacher'`` (two-point,
+    weak-order-1-preserving and transcendental-free).  Passing explicit
+    standard normals supports determinism tests and the CPU interpreter
+    (which lacks the PRNG primitives).
     """
     N, D = y0.shape
     R = min(block_rows, N)
@@ -163,6 +199,8 @@ def sde_rollout(
             )
     Np = y0.shape[0]
     use_prng = noise is None
+    while num_steps % unroll:
+        unroll -= 1
 
     sin_t = jnp.sin(t0s)[:, None].astype(jnp.float32)
     cos_t = jnp.cos(t0s)[:, None].astype(jnp.float32)
@@ -171,7 +209,7 @@ def sde_rollout(
     def w_spec(arr):
         # index maps under PrefetchScalarGridSpec receive (grid idx, scalar refs)
         return pl.BlockSpec(
-            arr.shape, lambda i, s: (0,) * arr.ndim, memory_space=pltpu.VMEM
+            arr.shape, lambda i, t, s: (0,) * arr.ndim, memory_space=pltpu.VMEM
         )
 
     p = params
@@ -181,7 +219,7 @@ def sde_rollout(
     ]
 
     in_specs = [
-        pl.BlockSpec((R, D), lambda i, s: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((R, D), lambda i, t, s: (i, 0), memory_space=pltpu.VMEM),
         w_spec(sin_t),
         w_spec(cos_t),
         w_spec(t_dt),
@@ -191,22 +229,29 @@ def sde_rollout(
     if not use_prng:
         in_specs.append(
             pl.BlockSpec(
-                (num_steps, R, D), lambda i, s: (0, i, 0), memory_space=pltpu.VMEM
+                (unroll, R, D), lambda i, t, s: (t, i, 0), memory_space=pltpu.VMEM
             )
         )
         inputs.append(noise.astype(jnp.float32))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(Np // R,),
+        grid=(Np // R, num_steps // unroll),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
-            (num_steps, R, D), lambda i, s: (0, i, 0), memory_space=pltpu.VMEM
+            (unroll, R, D), lambda i, t, s: (t, i, 0), memory_space=pltpu.VMEM
         ),
+        scratch_shapes=[pltpu.VMEM((R, D), jnp.float32)],
     )
 
     out = pl.pallas_call(
-        functools.partial(_rollout_kernel, num_steps=num_steps, use_prng=use_prng),
+        functools.partial(
+            _rollout_kernel,
+            num_steps=num_steps,
+            unroll=unroll,
+            use_prng=use_prng,
+            increments=increments,
+        ),
         out_shape=jax.ShapeDtypeStruct((num_steps, Np, D), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
