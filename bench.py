@@ -21,7 +21,7 @@ import jax
 import numpy as np
 import optax
 
-BATCH, ACTORS, LANES = 64, 32, 64
+BATCH, ACTORS, LANES = 128, 32, 64
 WARMUP, ITERS = 2, 10
 BASELINE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_BASELINE.json")
 

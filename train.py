@@ -69,6 +69,7 @@ def main() -> None:
     elif args.wonly:
         state = state.replace(params=checkpointer.restore_params(state.params, args.wonly))
 
+    ts_drop = cfg.model_kwargs.get("ts_drop", False)
     trainer = Trainer(
         model=model,
         optimizer=optimizer,
@@ -77,6 +78,7 @@ def main() -> None:
         logger=ExperimentLogger(run_dir),
         checkpointer=checkpointer,
         monitor=args.monitor,
+        ts_drop_rate=float(ts_drop) if ts_drop else 0.0,
     )
     max_epochs = args.epochs or cfg.training.get("max_epochs", 1)
 

@@ -68,14 +68,21 @@ def make_train_step(
     optimizer: optax.GradientTransformation,
     losses: List[Tuple[str, float, Callable]],
     donate: bool = True,
+    ts_drop_rate: float = 0.0,
 ) -> Callable:
     """Build the jitted train step: grads of the weighted loss sum.
 
     Under a sharded batch, XLA inserts the gradient ``psum`` over the data
     axis automatically (the NCCL-allreduce equivalent, SURVEY §2.9).
+    ``ts_drop_rate > 0`` enables the reference's random historical-timestep
+    masking regularization (``model_base_mix.py:96-101``).
     """
 
     def loss_fn(params, scene, sde_key, drop_key):
+        if ts_drop_rate:
+            from trajsde_tpu.data.transforms import ts_drop
+
+            scene = ts_drop(scene, ts_drop_rate, jax.random.fold_in(drop_key, 1))
         out = model.apply(
             {"params": params},
             scene,
@@ -132,9 +139,12 @@ class Trainer:
     logger: Optional[Any] = None
     checkpointer: Optional[Any] = None
     monitor: str = "ADE_T"
+    ts_drop_rate: float = 0.0
 
     def __post_init__(self):
-        self.train_step = make_train_step(self.model, self.optimizer, self.losses)
+        self.train_step = make_train_step(
+            self.model, self.optimizer, self.losses, ts_drop_rate=self.ts_drop_rate
+        )
         self.eval_step = make_eval_step(self.model, self.metrics)
 
     def fit(
