@@ -14,6 +14,21 @@ import json
 import os
 
 import jax
+
+if os.environ.get("TRAJSDE_FORCE_CPU"):
+    # tests force CPU; the ambient sitecustomize pins the axon TPU via
+    # jax.config, which outranks JAX_PLATFORMS
+    jax.config.update("jax_platforms", "cpu")
+try:
+    from jax.experimental.compilation_cache import compilation_cache as _cc
+
+    _cc.set_cache_dir(
+        "/tmp/jax_cache_trajsde_cpu"
+        if os.environ.get("TRAJSDE_FORCE_CPU")
+        else "/tmp/jax_cache_trajsde"
+    )
+except Exception:
+    pass
 import numpy as np
 
 
@@ -22,6 +37,11 @@ def main() -> None:
     parser.add_argument("-c", "--config", required=True)
     parser.add_argument("--ckpt", required=True)
     parser.add_argument("--ood", action="store_true")
+    parser.add_argument(
+        "--submit",
+        action="store_true",
+        help="dump per-scene agent predictions (world frame) for submission",
+    )
     parser.add_argument("--num-actors", type=int, default=48)
     parser.add_argument("--num-lanes", type=int, default=192)
     args = parser.parse_args()
@@ -45,12 +65,15 @@ def main() -> None:
         [n for n, _ in cfg.metric_specs], [dict(a) for _, a in cfg.metric_specs]
     )
 
-    mesh = mesh_lib.make_mesh(n_model=1)
+    mesh = mesh_lib.make_mesh_for_batch(dm_kwargs.get("val_batch_size", 1))
     loader = datamodule.test_loader()
     example = mesh_lib.shard_batch(next(iter(loader)), mesh)
     state = create_train_state(model, optax.identity(), example)
     ckpt_dir = os.path.dirname(os.path.abspath(args.ckpt))
-    state = CheckpointManager(ckpt_dir).restore(state, args.ckpt)
+    # weights-only restore: the eval state's optimizer tree differs from
+    # whatever optimizer trained the checkpoint
+    params = CheckpointManager(ckpt_dir).restore_params(state.params, args.ckpt)
+    state = state.replace(params=params)
 
     ood = args.ood
 
@@ -66,10 +89,28 @@ def main() -> None:
         if "stds" in out:
             agent_std = gather_agent(out["stds"], scene.agent_index, axis=1)
             result["agent_std"] = (agent_std.sum(), agent_std.shape[0])
+        if args.submit:
+            # agent modes back in the scene (world) frame + mode scores
+            import jax.numpy as jnp
+
+            loc = gather_agent(out["loc"][..., :2], scene.agent_index, axis=2)
+            ang = gather_agent(scene.rotate_angles, scene.agent_index, axis=1)
+            c, s = jnp.cos(ang), jnp.sin(ang)
+            rot_t = jnp.stack(
+                [jnp.stack([c, s], -1), jnp.stack([-s, c], -1)], axis=-2
+            )  # inverse of the agent-frame rotation
+            ref_time = cfg.model_kwargs.get("ref_time", 20)
+            origin = gather_agent(
+                scene.positions[:, :, ref_time], scene.agent_index, axis=1
+            )
+            world = jnp.einsum("bktj,bji->bkti", loc, rot_t) + origin[:, None, None]
+            pi = gather_agent(out["pi"], scene.agent_index, axis=1)
+            result["submission"] = (world, jax.nn.softmax(pi, axis=-1))
         return result
 
     key = jax.random.key(0)
     std_sum, std_cnt = 0.0, 0
+    submissions = []
     for i, scene in enumerate(loader):
         scene = mesh_lib.shard_batch(scene, mesh)
         contribs = eval_step(state.params, scene, jax.random.fold_in(key, i))
@@ -80,6 +121,9 @@ def main() -> None:
             s, c = contribs["agent_std"]
             std_sum += float(s)
             std_cnt += int(c)
+        if "submission" in contribs:
+            world, probs = contribs["submission"]
+            submissions.append((np.asarray(world), np.asarray(probs)))
 
     results = {m.name: m.compute() for m in metrics}
     if std_cnt:
@@ -91,6 +135,12 @@ def main() -> None:
     out_path = os.path.join(out_dir, f"result_{stem}.json")
     with open(out_path, "w") as f:
         json.dump(results, f, indent=2)
+    if submissions:
+        np.savez(
+            os.path.join(out_dir, f"submission_{stem}.npz"),
+            trajectories=np.concatenate([w for w, _ in submissions]),
+            probabilities=np.concatenate([p for _, p in submissions]),
+        )
     print(json.dumps(results))
 
 

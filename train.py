@@ -14,6 +14,21 @@ import os
 
 import jax
 
+if os.environ.get("TRAJSDE_FORCE_CPU"):
+    # tests force CPU; the ambient sitecustomize pins the axon TPU via
+    # jax.config, which outranks JAX_PLATFORMS
+    jax.config.update("jax_platforms", "cpu")
+try:
+    from jax.experimental.compilation_cache import compilation_cache as _cc
+
+    _cc.set_cache_dir(
+        "/tmp/jax_cache_trajsde_cpu"
+        if os.environ.get("TRAJSDE_FORCE_CPU")
+        else "/tmp/jax_cache_trajsde"
+    )
+except Exception:
+    pass
+
 
 def main() -> None:
     parser = argparse.ArgumentParser()
@@ -57,7 +72,9 @@ def main() -> None:
     )
     optimizer = build_optimizer(cfg.training, steps_per_epoch)
 
-    mesh = mesh_lib.make_mesh(n_model=1)
+    mesh = mesh_lib.make_mesh_for_batch(
+        dm_kwargs.get("train_batch_size", dm_kwargs.get("val_batch_size", 1))
+    )
     example = next(iter(datamodule.train_loader()))
     example = mesh_lib.shard_batch(example, mesh)
     state = create_train_state(model, optimizer, example, seed=args.seed)

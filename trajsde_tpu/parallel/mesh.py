@@ -38,6 +38,19 @@ def make_mesh(
     return Mesh(devices.reshape(n_data, n_model), (DATA_AXIS, MODEL_AXIS))
 
 
+def make_mesh_for_batch(batch_size: int, n_model: int = 1, devices=None) -> Mesh:
+    """Data-parallel mesh using the largest device count dividing the batch.
+
+    Keeps small debug batches runnable on large hosts (unused devices hold
+    replicas only).
+    """
+    import math
+
+    devices = list(devices if devices is not None else jax.devices())
+    n_data = math.gcd(batch_size, len(devices) // n_model)
+    return make_mesh(n_data=n_data, n_model=n_model, devices=devices[: n_data * n_model])
+
+
 def scene_sharding(mesh: Mesh) -> NamedSharding:
     """Batch arrays: leading (scene) axis over the data axis, rest local."""
     return NamedSharding(mesh, P(DATA_AXIS))
@@ -53,8 +66,15 @@ def mode_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Place every array of a SceneBatch pytree with batch-dim sharding."""
-    sharding = scene_sharding(mesh)
+    """Place every array of a SceneBatch pytree with batch-dim sharding.
+
+    A ragged final batch (size not divisible by the data axis) falls back
+    to replication — correct, just not parallel.
+    """
+    leaves = [x for x in jax.tree.leaves(batch) if hasattr(x, "shape") and x.ndim]
+    n_data = mesh.shape[DATA_AXIS]
+    divisible = all(x.shape[0] % n_data == 0 for x in leaves)
+    sharding = scene_sharding(mesh) if divisible else replicated(mesh)
     return jax.tree.map(
         lambda x: jax.device_put(x, sharding) if hasattr(x, "shape") and x.ndim else x,
         batch,
