@@ -1,0 +1,77 @@
+"""Distribution semantics: sharded == unsharded results, checkpoint best-k,
+NaN-guard failure detection."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from trajsde_tpu.data.synthetic import make_scene_batch
+from trajsde_tpu.losses import l2_loss
+from trajsde_tpu.parallel import mesh as mesh_lib
+from trajsde_tpu.train.loop import TrainState, create_train_state, make_eval_step, make_train_step
+from trajsde_tpu.train.metrics import make_metrics
+
+from tests.test_models_forward import make_baseline
+
+
+def test_sharded_eval_matches_unsharded(rng):
+    """Metric (sum, count) must be identical under data-parallel sharding —
+    the torchmetrics dist_reduce_fx='sum' equivalence (SURVEY §2.9)."""
+    scene = make_scene_batch(rng, batch_size=8, num_actors=6, num_lanes=8, sources=[0, 1])
+    model = make_baseline()
+    state = create_train_state(model, optax.adamw(1e-3), scene)
+    metrics = make_metrics(
+        ["ADE_T", "FDE_T", "MR_T"], [{"dataset": "nuScenes", "end_idcs": [59, 29]}] * 3
+    )
+    eval_step = make_eval_step(model, metrics)
+    plain = eval_step(state.params, scene, jax.random.key(0))
+
+    mesh = mesh_lib.make_mesh(n_data=8, n_model=1)
+    sharded_scene = mesh_lib.shard_batch(scene, mesh)
+    sharded_params = jax.device_put(state.params, mesh_lib.replicated(mesh))
+    sharded = eval_step(sharded_params, sharded_scene, jax.random.key(0))
+    for name in ("ADE_T", "FDE_T", "MR_T"):
+        np.testing.assert_allclose(
+            np.asarray(plain[name][0]), np.asarray(sharded[name][0]), rtol=1e-5
+        )
+        assert int(plain[name][1]) == int(sharded[name][1])
+
+
+def test_nan_guard_skips_bad_step(rng):
+    """A poisoned batch must not corrupt parameters."""
+    scene = make_scene_batch(rng, batch_size=2, num_actors=6, num_lanes=8)
+    model = make_baseline()
+    opt = optax.adamw(1e-3)
+    state = create_train_state(model, opt, scene)
+    step = make_train_step(model, opt, [("L2", 1.0, l2_loss)], donate=False)
+
+    import dataclasses
+
+    bad = dataclasses.replace(scene, x=scene.x.at[0, 0, 0, 0].set(jnp.nan))
+    p0 = jax.tree.leaves(state.params)[0].copy()
+    new_state, logs = step(state, bad)
+    assert float(logs["train/step_skipped"]) == 1.0
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree.leaves(new_state.params)[0]), np.asarray(p0)
+    )
+    # a clean batch still trains
+    new_state, logs = step(new_state, scene)
+    assert float(logs["train/step_skipped"]) == 0.0
+    assert not np.allclose(
+        np.asarray(jax.tree.leaves(new_state.params)[0]), np.asarray(p0)
+    )
+
+
+def test_checkpoint_best_k_pruning(tmp_path, rng):
+    from trajsde_tpu.train.checkpoint import CheckpointManager
+
+    mgr = CheckpointManager(str(tmp_path), save_top_k=2, mode="min")
+    state = TrainState(
+        params={"w": jnp.ones(3)}, opt_state={}, step=jnp.int32(0), key=jax.random.key(0)
+    )
+    for step, metric in [(1, 5.0), (2, 3.0), (3, 4.0), (4, 1.0)]:
+        mgr.save(state.replace(step=jnp.int32(step)), metric=metric, step=step)
+    best = mgr.best()
+    assert best["metric"] == 1.0
+    kept = {e["step"] for e in mgr._board}
+    assert 4 in kept and 2 in kept and 1 not in kept  # top-2 = metrics 1.0, 3.0

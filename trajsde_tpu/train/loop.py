@@ -103,9 +103,27 @@ def make_train_step(
         (loss, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, scene, sde_key, drop_key
         )
-        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        # failure detection: a non-finite loss/grad step is SKIPPED rather
+        # than written into the parameters (the reference has no such
+        # guard — SURVEY §5 "failure detection: none")
+        grads_ok = jnp.isfinite(loss) & jax.tree_util.tree_reduce(
+            jnp.logical_and,
+            jax.tree.map(lambda g: jnp.all(jnp.isfinite(g)), grads),
+            jnp.bool_(True),
+        )
+        safe_grads = jax.tree.map(lambda g: jnp.where(grads_ok, g, 0.0), grads)
+        updates, opt_state = optimizer.update(safe_grads, state.opt_state, state.params)
+        updates = jax.tree.map(lambda u: jnp.where(grads_ok, u, 0.0), updates)
+        opt_state = jax.tree.map(
+            lambda new, old: jnp.where(grads_ok, new, old)
+            if hasattr(new, "shape") and new.shape == getattr(old, "shape", None)
+            else new,
+            opt_state,
+            state.opt_state,
+        )
         params = optax.apply_updates(state.params, updates)
         logs["train/total"] = loss
+        logs["train/step_skipped"] = 1.0 - grads_ok.astype(jnp.float32)
         new_state = TrainState(
             params=params, opt_state=opt_state, step=state.step + 1, key=key
         )
