@@ -22,7 +22,7 @@ import numpy as np
 import optax
 
 BATCH, ACTORS, LANES = 128, 32, 64
-WARMUP, ITERS = 2, 10
+WARMUP, ITERS = 1, 20
 BASELINE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_BASELINE.json")
 
 
@@ -51,21 +51,34 @@ def main() -> None:
         model,
         optimizer,
         [("L2", 1.0, l2_loss), ("DiffBCE", 1.0, diff_bce_loss)],
-        donate=True,
+        donate=False,
     )
 
-    for _ in range(WARMUP):
-        state, logs = step(state, scene)
-    jax.block_until_ready(state.params)
+    # Methodology note: this host reaches the chip through an async relay
+    # whose block_until_ready can return before execution completes, so the
+    # ITERS steps run inside ONE jitted fori_loop and the timing is closed
+    # by an actual value fetch (see CLAUDE.md "TPU microbenchmarks lie").
+    import jax.numpy as jnp
 
+    @jax.jit
+    def run_steps(state, scene):
+        def body(i, st):
+            st, _ = step(st, scene)
+            return st
+        st = jax.lax.fori_loop(0, ITERS, body, state)
+        return st, jax.tree_util.tree_reduce(
+            lambda a, b: a + jnp.sum(b), st.params, 0.0
+        )
+
+    state, checksum = run_steps(state, scene)  # compile + warmup
+    assert np.isfinite(float(checksum))
     t0 = time.perf_counter()
-    for _ in range(ITERS):
-        state, logs = step(state, scene)
-    jax.block_until_ready(state.params)
+    state, checksum = run_steps(state, scene)
+    checksum = float(checksum)  # value fetch closes the timing
     dt = time.perf_counter() - t0
 
     scenes_per_sec = BATCH * ITERS / dt
-    assert np.isfinite(float(logs["train/total"]))
+    assert np.isfinite(checksum)
 
     if os.path.exists(BASELINE_PATH):
         with open(BASELINE_PATH) as f:

@@ -115,3 +115,43 @@ def test_remat_forward_equivalence(rng):
     )
     np.testing.assert_allclose(np.asarray(out[0]), np.asarray(out_r[0]), atol=1e-5)
     np.testing.assert_allclose(np.asarray(out[1]), np.asarray(out_r[1]), atol=1e-6)
+
+
+def test_bf16_mixed_precision_forward(rng):
+    """dtype=bfloat16 computes close to f32 with f32 params and f32 outputs."""
+    scene = _scene(rng)
+    f32 = make_sde()
+    bf16 = PredictionModelSDENet(
+        encoder=LocalEncoderSDESep(
+            historical_steps=TH, embed_dim=D, num_heads=8, dtype=jnp.bfloat16
+        ),
+        aggregator=GlobalInteractor(
+            historical_steps=TH, embed_dim=D, num_modes=K, num_heads=8,
+            dtype=jnp.bfloat16,
+        ),
+        decoder=SDEDecoder(
+            local_channels=D, global_channels=D, future_steps=TF, num_modes=K,
+            dtype=jnp.bfloat16,
+        ),
+    )
+    rngs = {"params": jax.random.key(0), "sde": jax.random.key(1)}
+    params = jax.jit(f32.init)(rngs, scene)
+    # identical param tree (params stay f32 in mixed precision)
+    p16 = jax.jit(bf16.init)(rngs, scene)
+    assert jax.tree.all(
+        jax.tree.map(lambda a, b: a.dtype == b.dtype, params, p16)
+    )
+    out32 = jax.jit(lambda p, s, k: f32.apply(p, s, rngs={"sde": k}))(
+        params, scene, jax.random.key(2)
+    )
+    out16 = jax.jit(lambda p, s, k: bf16.apply(p, s, rngs={"sde": k}))(
+        params, scene, jax.random.key(2)
+    )
+    assert out16["loc"].dtype == jnp.float32
+    # stochastic paths diverge under precision, so compare coarse statistics
+    assert np.isfinite(np.asarray(out16["loc"])).all()
+    np.testing.assert_allclose(
+        float(jnp.abs(out32["pi"]).mean()),
+        float(jnp.abs(out16["pi"]).mean()),
+        rtol=0.15,
+    )

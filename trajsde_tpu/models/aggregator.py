@@ -1,6 +1,8 @@
 """Global interaction aggregator (reference: ``models/aggregators/agg_hivt.py``)."""
 from __future__ import annotations
 
+from typing import Any
+
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
@@ -17,6 +19,7 @@ class GlobalInteractorLayer(nn.Module):
     embed_dim: int
     num_heads: int
     dropout: float = 0.1
+    dtype: Any = None
 
     @nn.compact
     def __call__(
@@ -26,16 +29,18 @@ class GlobalInteractorLayer(nn.Module):
         rel_embed: jax.Array,
         deterministic: bool = True,
     ) -> jax.Array:
-        attn = EdgeAttention(self.embed_dim, self.num_heads, self.dropout, name="attn")
-        normed = nn.LayerNorm(epsilon=LN_EPS, name="norm1")(x)
+        attn = EdgeAttention(
+            self.embed_dim, self.num_heads, self.dropout, dtype=self.dtype, name="attn"
+        )
+        normed = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm1")(x)
         # key/value = node + edge streams (``agg_hivt.py:108-117``).  Note the
         # reference projects the NORMED x for keys/values too (propagate is
         # called with x = norm1(x)).
         x = x + attn(
             normed, mask, kv_node=normed, kv_edge=rel_embed, deterministic=deterministic
         )
-        x = x + MlpBlock(self.embed_dim, self.dropout, name="mlp")(
-            nn.LayerNorm(epsilon=LN_EPS, name="norm2")(x), deterministic
+        x = x + MlpBlock(self.embed_dim, self.dropout, dtype=self.dtype, name="mlp")(
+            nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm2")(x), deterministic
         )
         return x
 
@@ -55,6 +60,7 @@ class GlobalInteractor(nn.Module):
     dropout: float = 0.1
     rotate: bool = True
     edge_dim: int = 2
+    dtype: Any = None
 
     @nn.compact
     def __call__(
@@ -70,19 +76,21 @@ class GlobalInteractor(nn.Module):
             rel_theta_feat = jnp.stack(
                 [jnp.cos(rel_theta), jnp.sin(rel_theta)], axis=-1
             )
-            rel_embed = MultipleInputEmbedding(D, name="rel_embed")(
+            rel_embed = MultipleInputEmbedding(D, dtype=self.dtype, name="rel_embed")(
                 [rel_pos_local, rel_theta_feat]
             )
         else:
-            rel_embed = SingleInputEmbedding(D, name="rel_embed")(rel_pos)
+            rel_embed = SingleInputEmbedding(D, dtype=self.dtype, name="rel_embed")(rel_pos)
 
-        x = local_embed
+        x = local_embed if self.dtype is None else local_embed.astype(self.dtype)
         for i in range(self.num_layers):
             x = GlobalInteractorLayer(
-                D, self.num_heads, self.dropout, name=f"layer{i}"
+                D, self.num_heads, self.dropout, dtype=self.dtype, name=f"layer{i}"
             )(x, mask, rel_embed, deterministic)
-        x = nn.LayerNorm(epsilon=LN_EPS, name="norm")(x)
-        x = nn.Dense(self.num_modes * D, kernel_init=XAVIER, name="multihead_proj")(x)
+        x = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm")(x)
+        x = nn.Dense(
+            self.num_modes * D, kernel_init=XAVIER, dtype=self.dtype, name="multihead_proj"
+        )(x)
         B, A = x.shape[0], x.shape[1]
         x = x.reshape(B, A, self.num_modes, D)
-        return jnp.transpose(x, (0, 2, 1, 3))  # [B, F, A, D]
+        return jnp.transpose(x, (0, 2, 1, 3)).astype(jnp.float32)  # [B, F, A, D]

@@ -7,7 +7,7 @@ explicit batch dim).
 """
 from __future__ import annotations
 
-from typing import Dict
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
@@ -18,7 +18,7 @@ from trajsde_tpu.models.layers import LN_EPS, XAVIER
 from trajsde_tpu.models.sde import SDEStep, decoder_time_grid, scanned
 
 
-def _mlp_head(dims, name_prefix=None):
+def _mlp_head(dims, name_prefix=None, dtype=None):
     """Dense→LN→ReLU stacks with a final plain Dense (reference head shape).
 
     ``name_prefix=None`` for setup-context creation (linen derives names
@@ -29,9 +29,11 @@ def _mlp_head(dims, name_prefix=None):
 
     layers = []
     for i, d in enumerate(dims[:-1]):
-        layers.append(nn.Dense(d, kernel_init=XAVIER, **nm(f"dense{i}")))
-        layers.append(nn.LayerNorm(epsilon=LN_EPS, **nm(f"ln{i}")))
-    layers.append(nn.Dense(dims[-1], kernel_init=XAVIER, **nm(f"dense{len(dims) - 1}")))
+        layers.append(nn.Dense(d, kernel_init=XAVIER, dtype=dtype, **nm(f"dense{i}")))
+        layers.append(nn.LayerNorm(epsilon=LN_EPS, dtype=dtype, **nm(f"ln{i}")))
+    layers.append(
+        nn.Dense(dims[-1], kernel_init=XAVIER, dtype=dtype, **nm(f"dense{len(dims) - 1}"))
+    )
     return layers
 
 
@@ -53,6 +55,7 @@ class MLPDecoder(nn.Module):
     num_modes: int
     uncertain: bool = True
     min_scale: float = 1e-3
+    dtype: Any = None
 
     @nn.compact
     def __call__(
@@ -66,22 +69,23 @@ class MLPDecoder(nn.Module):
         B, F, A = global_embed.shape[:3]
         local_exp = jnp.broadcast_to(local_embed[:, None], global_embed.shape)
 
-        pi_layers = _mlp_head([D, D, 1], "pi")
+        pi_layers = _mlp_head([D, D, 1], "pi", dtype=self.dtype)
         pi = _apply_head(pi_layers, jnp.concatenate([local_exp, global_embed], axis=-1))
-        pi = jnp.transpose(pi[..., 0], (0, 2, 1))  # [B, A, F]
+        pi = jnp.transpose(pi[..., 0], (0, 2, 1)).astype(jnp.float32)  # [B, A, F]
 
-        h = nn.Dense(D, kernel_init=XAVIER, name="aggr_dense")(
+        h = nn.Dense(D, kernel_init=XAVIER, dtype=self.dtype, name="aggr_dense")(
             jnp.concatenate([global_embed, local_exp], axis=-1)
         )
-        h = nn.relu(nn.LayerNorm(epsilon=LN_EPS, name="aggr_ln")(h))
+        h = nn.relu(nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="aggr_ln")(h))
 
-        loc_layers = _mlp_head([D, self.future_steps * 2], "loc")
+        loc_layers = _mlp_head([D, self.future_steps * 2], "loc", dtype=self.dtype)
         loc = _apply_head(loc_layers, h).reshape(B, F, A, self.future_steps, 2)
+        loc = loc.astype(jnp.float32)
 
         if self.uncertain:
-            scale_layers = _mlp_head([D, self.future_steps * 2], "scale")
+            scale_layers = _mlp_head([D, self.future_steps * 2], "scale", dtype=self.dtype)
             scale = _apply_head(scale_layers, h).reshape(B, F, A, self.future_steps, 2)
-            scale = nn.elu(scale) + 1.0 + self.min_scale
+            scale = nn.elu(scale.astype(jnp.float32)) + 1.0 + self.min_scale
             loc = jnp.concatenate([loc, scale], axis=-1)
 
         Tf = self.future_steps
@@ -113,18 +117,19 @@ class SDEDecoder(nn.Module):
     method: str = "euler"
     rtol: float = 1e-3
     atol: float = 1e-3
+    dtype: Any = None
 
     def setup(self):
         D = self.local_channels
-        self.aggr_dense = nn.Dense(D, kernel_init=XAVIER)
-        self.aggr_ln = nn.LayerNorm(epsilon=LN_EPS)
+        self.aggr_dense = nn.Dense(D, kernel_init=XAVIER, dtype=self.dtype)
+        self.aggr_ln = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype)
         self.sde_rollout = scanned(
-            SDEStep, None, embed_dim=D, sde_layers=self.sde_layers
+            SDEStep, None, embed_dim=D, sde_layers=self.sde_layers, dtype=self.dtype
         )
-        self.loc_layers = _mlp_head([D, 2])
-        self.pi_layers = _mlp_head([D, 1])
+        self.loc_layers = _mlp_head([D, 2], dtype=self.dtype)
+        self.pi_layers = _mlp_head([D, 1], dtype=self.dtype)
         if self.uncertain:
-            self.scale_layers = _mlp_head([D, 2])
+            self.scale_layers = _mlp_head([D, 2], dtype=self.dtype)
 
     def time_grid(self):
         return decoder_time_grid(self.future_steps, self.max_fut_t)
@@ -147,13 +152,17 @@ class SDEDecoder(nn.Module):
         """Per-step latents ``sol [B, F, A, Tf, D]`` → output dict."""
         Tf = self.future_steps
         local_exp = jnp.broadcast_to(local_embed[:, None], global_embed.shape)
-        loc = _apply_head(self.loc_layers, sol)            # [B, F, A, Tf, 2]
+        loc = _apply_head(self.loc_layers, sol).astype(jnp.float32)  # [B, F, A, Tf, 2]
         pi = _apply_head(
             self.pi_layers, jnp.concatenate([local_exp, global_embed], axis=-1)
         )
-        pi = jnp.transpose(pi[..., 0], (0, 2, 1))          # [B, A, F]
+        pi = jnp.transpose(pi[..., 0], (0, 2, 1)).astype(jnp.float32)  # [B, A, F]
         if self.uncertain:
-            scale = nn.elu(_apply_head(self.scale_layers, sol)) + 1.0 + self.min_scale
+            scale = (
+                nn.elu(_apply_head(self.scale_layers, sol).astype(jnp.float32))
+                + 1.0
+                + self.min_scale
+            )
             loc = jnp.concatenate([loc, scale], axis=-1)
         return {
             "loc": loc,

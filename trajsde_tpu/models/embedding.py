@@ -1,7 +1,7 @@
 """Input embedding stacks (reference: ``models/utils/embedding.py:22-70``)."""
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Any, Sequence
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -14,15 +14,16 @@ class SingleInputEmbedding(nn.Module):
     """3×(Dense → LN → ReLU) with a final LN (reference ``embedding.py:22-40``)."""
 
     out_channel: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         for _ in range(2):
-            x = nn.Dense(self.out_channel, kernel_init=XAVIER)(x)
-            x = nn.LayerNorm(epsilon=LN_EPS)(x)
+            x = nn.Dense(self.out_channel, kernel_init=XAVIER, dtype=self.dtype)(x)
+            x = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype)(x)
             x = nn.relu(x)
-        x = nn.Dense(self.out_channel, kernel_init=XAVIER)(x)
-        x = nn.LayerNorm(epsilon=LN_EPS)(x)
+        x = nn.Dense(self.out_channel, kernel_init=XAVIER, dtype=self.dtype)(x)
+        x = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype)(x)
         return x
 
 
@@ -55,19 +56,20 @@ class MultipleInputEmbedding(nn.Module):
     """Per-input 2-layer MLPs summed, then aggregated (``embedding.py:43-70``)."""
 
     out_channel: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, inputs: Sequence[jnp.ndarray]) -> jnp.ndarray:
         embedded = []
         for i, x in enumerate(inputs):
-            h = nn.Dense(self.out_channel, kernel_init=XAVIER, name=f"in{i}_dense0")(x)
-            h = nn.LayerNorm(epsilon=LN_EPS, name=f"in{i}_ln0")(h)
+            h = nn.Dense(self.out_channel, kernel_init=XAVIER, dtype=self.dtype, name=f"in{i}_dense0")(x)
+            h = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name=f"in{i}_ln0")(h)
             h = nn.relu(h)
-            h = nn.Dense(self.out_channel, kernel_init=XAVIER, name=f"in{i}_dense1")(h)
+            h = nn.Dense(self.out_channel, kernel_init=XAVIER, dtype=self.dtype, name=f"in{i}_dense1")(h)
             embedded.append(h)
         out = sum(embedded)
-        out = nn.LayerNorm(epsilon=LN_EPS, name="aggr_ln0")(out)
+        out = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="aggr_ln0")(out)
         out = nn.relu(out)
-        out = nn.Dense(self.out_channel, kernel_init=XAVIER, name="aggr_dense")(out)
-        out = nn.LayerNorm(epsilon=LN_EPS, name="aggr_ln1")(out)
+        out = nn.Dense(self.out_channel, kernel_init=XAVIER, dtype=self.dtype, name="aggr_dense")(out)
+        out = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="aggr_ln1")(out)
         return out

@@ -15,7 +15,7 @@ over fixed-shape dense adjacencies with boolean masks:
 """
 from __future__ import annotations
 
-from typing import Optional
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
@@ -40,13 +40,14 @@ class MlpBlock(nn.Module):
 
     embed_dim: int
     dropout: float = 0.1
+    dtype: Any = None  # compute dtype (params stay f32); None = float32
 
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
-        h = nn.Dense(self.embed_dim * 4, kernel_init=XAVIER)(x)
+        h = nn.Dense(self.embed_dim * 4, kernel_init=XAVIER, dtype=self.dtype)(x)
         h = nn.relu(h)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
-        h = nn.Dense(self.embed_dim, kernel_init=XAVIER)(h)
+        h = nn.Dense(self.embed_dim, kernel_init=XAVIER, dtype=self.dtype)(h)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         return h
 
@@ -73,6 +74,7 @@ class EdgeAttention(nn.Module):
     embed_dim: int
     num_heads: int
     dropout: float = 0.1
+    dtype: Any = None
 
     @nn.compact
     def __call__(
@@ -88,17 +90,17 @@ class EdgeAttention(nn.Module):
         head_dim = D // H
         scale = head_dim ** 0.5
 
-        q = nn.Dense(D, kernel_init=XAVIER, name="lin_q")(center)
+        q = nn.Dense(D, kernel_init=XAVIER, dtype=self.dtype, name="lin_q")(center)
         if kv_pair is not None:
-            k = nn.Dense(D, kernel_init=XAVIER, name="lin_k")(kv_pair)
-            v = nn.Dense(D, kernel_init=XAVIER, name="lin_v")(kv_pair)
+            k = nn.Dense(D, kernel_init=XAVIER, dtype=self.dtype, name="lin_k")(kv_pair)
+            v = nn.Dense(D, kernel_init=XAVIER, dtype=self.dtype, name="lin_v")(kv_pair)
         else:
             # node-wise projections stay [..., Nk, D]; the per-edge stream is
             # projected separately and broadcast-added over the query axis.
-            k = nn.Dense(D, kernel_init=XAVIER, name="lin_k")(kv_node)[..., None, :, :]
-            v = nn.Dense(D, kernel_init=XAVIER, name="lin_v")(kv_node)[..., None, :, :]
-            k = k + nn.Dense(D, kernel_init=XAVIER, name="lin_k_edge")(kv_edge)
-            v = v + nn.Dense(D, kernel_init=XAVIER, name="lin_v_edge")(kv_edge)
+            k = nn.Dense(D, kernel_init=XAVIER, dtype=self.dtype, name="lin_k")(kv_node)[..., None, :, :]
+            v = nn.Dense(D, kernel_init=XAVIER, dtype=self.dtype, name="lin_v")(kv_node)[..., None, :, :]
+            k = k + nn.Dense(D, kernel_init=XAVIER, dtype=self.dtype, name="lin_k_edge")(kv_edge)
+            v = v + nn.Dense(D, kernel_init=XAVIER, dtype=self.dtype, name="lin_v_edge")(kv_edge)
 
         q = q.reshape(q.shape[:-1] + (H, head_dim))
         k = k.reshape(k.shape[:-1] + (H, head_dim))
@@ -113,11 +115,11 @@ class EdgeAttention(nn.Module):
         agg = agg.reshape(agg.shape[:-2] + (D,))
 
         gate = nn.sigmoid(
-            nn.Dense(D, kernel_init=XAVIER, name="lin_ih")(agg)
-            + nn.Dense(D, kernel_init=XAVIER, name="lin_hh")(center)
+            nn.Dense(D, kernel_init=XAVIER, dtype=self.dtype, name="lin_ih")(agg)
+            + nn.Dense(D, kernel_init=XAVIER, dtype=self.dtype, name="lin_hh")(center)
         )
-        out = agg + gate * (nn.Dense(D, kernel_init=XAVIER, name="lin_self")(center) - agg)
-        out = nn.Dense(D, kernel_init=XAVIER, name="out_proj")(out)
+        out = agg + gate * (nn.Dense(D, kernel_init=XAVIER, dtype=self.dtype, name="lin_self")(center) - agg)
+        out = nn.Dense(D, kernel_init=XAVIER, dtype=self.dtype, name="out_proj")(out)
         out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
         return out
 
@@ -132,6 +134,7 @@ class MultiheadSelfAttention(nn.Module):
     embed_dim: int
     num_heads: int
     dropout: float = 0.1
+    dtype: Any = None
 
     @nn.compact
     def __call__(
@@ -139,7 +142,7 @@ class MultiheadSelfAttention(nn.Module):
     ) -> jax.Array:
         D, H = self.embed_dim, self.num_heads
         head_dim = D // H
-        qkv = nn.Dense(3 * D, kernel_init=XAVIER, name="in_proj")(x)
+        qkv = nn.Dense(3 * D, kernel_init=XAVIER, dtype=self.dtype, name="in_proj")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         q = q.reshape(q.shape[:-1] + (H, head_dim))
         k = k.reshape(k.shape[:-1] + (H, head_dim))
@@ -150,7 +153,7 @@ class MultiheadSelfAttention(nn.Module):
         w = nn.Dropout(self.dropout)(w, deterministic=deterministic)
         out = jnp.einsum("...hqk,...khd->...qhd", w, v)
         out = out.reshape(out.shape[:-2] + (D,))
-        return nn.Dense(D, kernel_init=XAVIER, name="out_proj")(out)
+        return nn.Dense(D, kernel_init=XAVIER, dtype=self.dtype, name="out_proj")(out)
 
 
 class GRUUnit(nn.Module):
@@ -164,15 +167,16 @@ class GRUUnit(nn.Module):
 
     latent_dim: int
     n_units: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, h_cur: jax.Array, x: jax.Array, mask: jax.Array) -> jax.Array:
         init = nn.initializers.normal(stddev=0.1)
 
         def gate_net(name: str, out_dim: int, inp: jax.Array) -> jax.Array:
-            h = nn.Dense(self.n_units, kernel_init=init, name=f"{name}_0")(inp)
+            h = nn.Dense(self.n_units, kernel_init=init, dtype=self.dtype, name=f"{name}_0")(inp)
             h = nn.tanh(h)
-            return nn.Dense(out_dim, kernel_init=init, name=f"{name}_1")(h)
+            return nn.Dense(out_dim, kernel_init=init, dtype=self.dtype, name=f"{name}_1")(h)
 
         concat = jnp.concatenate([h_cur, x], axis=-1)
         update = nn.sigmoid(gate_net("update_gate", self.latent_dim, concat))

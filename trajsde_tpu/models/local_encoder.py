@@ -9,7 +9,7 @@ axis is simply another batch dimension of a dense masked attention, so all
 """
 from __future__ import annotations
 
-from typing import Optional
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
@@ -51,6 +51,7 @@ class AAEncoder(nn.Module):
     num_heads: int
     dropout: float = 0.1
     input_diff: bool = True  # bos-token substitution flag (cfg ``input_diff``)
+    dtype: Any = None
 
     @nn.compact
     def __call__(
@@ -70,28 +71,30 @@ class AAEncoder(nn.Module):
 
         # center embedding in each receiver's own frame (:146-156)
         x_q_local = jnp.einsum("btaj,baji->btai", x_q, rot_q)
-        center = SingleInputEmbedding(D, name="center_embed")(x_q_local)
+        center = SingleInputEmbedding(D, dtype=self.dtype, name="center_embed")(x_q_local)
         if self.input_diff:
             center = jnp.where(
                 jnp.transpose(bos_q, (0, 2, 1))[..., None],
-                bos_token[None, :, None, :],
+                bos_token[None, :, None, :].astype(center.dtype),
                 center,
             )
 
         # per-pair neighbor embedding, rotated into the RECEIVER frame (:178-186)
         x_k_local = jnp.einsum("btkj,bqji->btqki", x_k, rot_q)
         edge_local = jnp.einsum("btqkj,bqji->btqki", edge_vec, rot_q)
-        nbr = MultipleInputEmbedding(D, name="nbr_embed")([x_k_local, edge_local])
+        nbr = MultipleInputEmbedding(D, dtype=self.dtype, name="nbr_embed")(
+            [x_k_local, edge_local]
+        )
 
-        attn = EdgeAttention(D, self.num_heads, self.dropout, name="attn")
+        attn = EdgeAttention(D, self.num_heads, self.dropout, dtype=self.dtype, name="attn")
         center = center + attn(
-            nn.LayerNorm(epsilon=LN_EPS, name="norm1")(center),
+            nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm1")(center),
             mask,
             kv_pair=nbr,
             deterministic=deterministic,
         )
-        center = center + MlpBlock(D, self.dropout, name="mlp")(
-            nn.LayerNorm(epsilon=LN_EPS, name="norm2")(center),
+        center = center + MlpBlock(D, self.dropout, dtype=self.dtype, name="mlp")(
+            nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm2")(center),
             deterministic=deterministic,
         )
         return center
@@ -103,17 +106,18 @@ class TemporalEncoderLayer(nn.Module):
     embed_dim: int
     num_heads: int
     dropout: float = 0.1
+    dtype: Any = None
 
     @nn.compact
     def __call__(
         self, x: jax.Array, attn_mask: jax.Array, deterministic: bool = True
     ) -> jax.Array:
-        h = MultiheadSelfAttention(self.embed_dim, self.num_heads, self.dropout, name="self_attn")(
-            nn.LayerNorm(epsilon=LN_EPS, name="norm1")(x), attn_mask, deterministic
-        )
+        h = MultiheadSelfAttention(
+            self.embed_dim, self.num_heads, self.dropout, dtype=self.dtype, name="self_attn"
+        )(nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm1")(x), attn_mask, deterministic)
         x = x + nn.Dropout(self.dropout)(h, deterministic=deterministic)
-        h = MlpBlock(self.embed_dim, self.dropout, name="mlp")(
-            nn.LayerNorm(epsilon=LN_EPS, name="norm2")(x), deterministic
+        h = MlpBlock(self.embed_dim, self.dropout, dtype=self.dtype, name="mlp")(
+            nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm2")(x), deterministic
         )
         return x + h
 
@@ -129,15 +133,16 @@ class TemporalEncoder(nn.Module):
     num_heads: int
     num_layers: int = 4
     dropout: float = 0.1
+    dtype: Any = None
 
     @nn.compact
     def __call__(
         self, x: jax.Array, padding_mask: jax.Array, deterministic: bool = True
     ) -> jax.Array:
         T, D = self.historical_steps, self.embed_dim
-        padding_token = self.param("padding_token", TOKEN_INIT, (T, D))
-        cls_token = self.param("cls_token", TOKEN_INIT, (1, D))
-        pos_embed = self.param("pos_embed", TOKEN_INIT, (T + 1, D))
+        padding_token = self.param("padding_token", TOKEN_INIT, (T, D)).astype(x.dtype)
+        cls_token = self.param("cls_token", TOKEN_INIT, (1, D)).astype(x.dtype)
+        pos_embed = self.param("pos_embed", TOKEN_INIT, (T + 1, D)).astype(x.dtype)
 
         x = jnp.where(padding_mask[..., None], padding_token[None, None], x)
         cls = jnp.broadcast_to(cls_token[None, None], x.shape[:2] + (1, D))
@@ -152,9 +157,9 @@ class TemporalEncoder(nn.Module):
 
         for i in range(self.num_layers):
             x = TemporalEncoderLayer(
-                D, self.num_heads, self.dropout, name=f"layer{i}"
+                D, self.num_heads, self.dropout, dtype=self.dtype, name=f"layer{i}"
             )(x, attn_mask, deterministic)
-        x = nn.LayerNorm(epsilon=LN_EPS, name="norm")(x)
+        x = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm")(x)
         return x[:, :, -1, :]
 
 
@@ -168,6 +173,7 @@ class ALEncoder(nn.Module):
     embed_dim: int
     num_heads: int
     dropout: float = 0.1
+    dtype: Any = None
 
     @nn.compact
     def __call__(
@@ -182,17 +188,19 @@ class ALEncoder(nn.Module):
         D = self.embed_dim
         lane_local = jnp.einsum("blj,baji->bali", lane_feat, rot)
         vec_local = jnp.einsum("balj,baji->bali", al_vec, rot)
-        lane_embed = MultipleInputEmbedding(D, name="lane_embed")([lane_local, vec_local])
+        lane_embed = MultipleInputEmbedding(D, dtype=self.dtype, name="lane_embed")(
+            [lane_local, vec_local]
+        )
 
-        attn = EdgeAttention(D, self.num_heads, self.dropout, name="attn")
+        attn = EdgeAttention(D, self.num_heads, self.dropout, dtype=self.dtype, name="attn")
         x_actor = x_actor + attn(
-            nn.LayerNorm(epsilon=LN_EPS, name="norm1")(x_actor),
+            nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm1")(x_actor),
             mask,
             kv_pair=lane_embed,
             deterministic=deterministic,
         )
-        x_actor = x_actor + MlpBlock(D, self.dropout, name="mlp")(
-            nn.LayerNorm(epsilon=LN_EPS, name="norm2")(x_actor),
+        x_actor = x_actor + MlpBlock(D, self.dropout, dtype=self.dtype, name="mlp")(
+            nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm2")(x_actor),
             deterministic=deterministic,
         )
         return x_actor
@@ -212,6 +220,7 @@ class LocalEncoder(nn.Module):
     edge_dim: int = 2
     parallel: bool = True  # accepted for config parity; dense path is always "parallel"
     remat: bool = False    # rematerialize the AA/AL pair tensors (memory ↓, FLOPs ↑)
+    dtype: Any = None      # compute dtype (bfloat16 for mixed precision); params stay f32
 
     @nn.compact
     def __call__(self, scene: SceneBatch, deterministic: bool = True) -> jax.Array:
@@ -229,6 +238,7 @@ class LocalEncoder(nn.Module):
             self.num_heads,
             self.dropout,
             input_diff=self.input_diff,
+            dtype=self.dtype,
             name="aa_encoder",
         )(x_t, x_t, rot, scene.bos_mask, mask, edge_vec, deterministic)
 
@@ -238,6 +248,7 @@ class LocalEncoder(nn.Module):
             self.num_heads,
             self.num_temporal_layers,
             self.dropout,
+            dtype=self.dtype,
             name="temporal_encoder",
         )(
             jnp.transpose(aa_out, (0, 2, 1, 3)),
@@ -247,7 +258,7 @@ class LocalEncoder(nn.Module):
 
         al_mask, al_vec = graph.al_edges(scene, self.historical_steps - 1, self.local_radius)
         lane_feat = graph.lane_features(scene)
-        out = al_cls(self.embed_dim, self.num_heads, self.dropout, name="al_encoder")(
-            out, lane_feat, al_vec, al_mask, rot, deterministic
-        )
-        return out
+        out = al_cls(
+            self.embed_dim, self.num_heads, self.dropout, dtype=self.dtype, name="al_encoder"
+        )(out, lane_feat, al_vec, al_mask, rot, deterministic)
+        return out.astype(jnp.float32)

@@ -21,7 +21,7 @@ every step gets an independent, reproducible stream.
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -43,13 +43,14 @@ class FFunc(nn.Module):
 
     embed_dim: int
     num_layers: int = 2
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, t: jax.Array, y: jax.Array) -> jax.Array:
-        h = nn.Dense(self.embed_dim, kernel_init=XAVIER, name="dense0")(_time_feats(t, y))
+        h = nn.Dense(self.embed_dim, kernel_init=XAVIER, dtype=self.dtype, name="dense0")(_time_feats(t, y))
         for i in range(self.num_layers):
             h = nn.tanh(h)
-            h = nn.Dense(self.embed_dim, kernel_init=XAVIER, name=f"dense{i + 1}")(h)
+            h = nn.Dense(self.embed_dim, kernel_init=XAVIER, dtype=self.dtype, name=f"dense{i + 1}")(h)
         return h
 
 
@@ -58,15 +59,16 @@ class GFunc(nn.Module):
 
     embed_dim: int
     num_layers: int = 2
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, t: jax.Array, y: jax.Array) -> jax.Array:
-        h = nn.Dense(self.embed_dim, kernel_init=XAVIER, name="dense0")(_time_feats(t, y))
+        h = nn.Dense(self.embed_dim, kernel_init=XAVIER, dtype=self.dtype, name="dense0")(_time_feats(t, y))
         for i in range(self.num_layers - 1):
             h = nn.tanh(h)
-            h = nn.Dense(self.embed_dim, kernel_init=XAVIER, name=f"dense{i + 1}")(h)
+            h = nn.Dense(self.embed_dim, kernel_init=XAVIER, dtype=self.dtype, name=f"dense{i + 1}")(h)
         h = nn.tanh(h)
-        h = nn.Dense(1, kernel_init=XAVIER, name="dense_out")(h)
+        h = nn.Dense(1, kernel_init=XAVIER, dtype=self.dtype, name="dense_out")(h)
         return nn.sigmoid(h)  # [..., 1]
 
 
@@ -95,21 +97,25 @@ class SDEGRUStep(nn.Module):
 
     embed_dim: int
     sde_layers: int = 2
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, carry, xs):
         h, nus_mask = carry
         obs, obs_mask, t0, dt = xs
+        dt = dt.astype(h.dtype)
 
-        f = FFunc(self.embed_dim, self.sde_layers, name="f_func")(t0, h)
-        g_nus = GFunc(self.embed_dim, self.sde_layers, name="g_nus")(t0, h)
-        g_argo = GFunc(self.embed_dim, self.sde_layers, name="g_argo")(t0, h)
+        f = FFunc(self.embed_dim, self.sde_layers, dtype=self.dtype, name="f_func")(t0, h)
+        g_nus = GFunc(self.embed_dim, self.sde_layers, dtype=self.dtype, name="g_nus")(t0, h)
+        g_argo = GFunc(self.embed_dim, self.sde_layers, dtype=self.dtype, name="g_argo")(t0, h)
         g = jnp.where(nus_mask[..., None], g_nus, g_argo)  # [..., 1]
 
         eps = jax.random.normal(self.make_rng("sde"), h.shape, h.dtype)
         y1 = h + f * dt + g * (jnp.sqrt(dt) * eps)
 
-        h_next = GRUUnit(self.embed_dim, self.embed_dim, name="gru")(y1, obs, obs_mask)
+        h_next = GRUUnit(self.embed_dim, self.embed_dim, dtype=self.dtype, name="gru")(
+            y1, obs, obs_mask
+        )
         return (h_next, nus_mask), (h_next, g[..., 0])
 
 
@@ -124,12 +130,14 @@ class SDEStep(nn.Module):
 
     embed_dim: int
     sde_layers: int = 2
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, y, xs):
         t0, dt = xs
-        f = FFunc(self.embed_dim, self.sde_layers, name="f_func")(t0, y)
-        g = GFunc(self.embed_dim, self.sde_layers, name="g_func")(t0, y)
+        dt = dt.astype(y.dtype)
+        f = FFunc(self.embed_dim, self.sde_layers, dtype=self.dtype, name="f_func")(t0, y)
+        g = GFunc(self.embed_dim, self.sde_layers, dtype=self.dtype, name="g_func")(t0, y)
         eps = jax.random.normal(self.make_rng("sde"), y.shape, y.dtype)
         y1 = y + f * dt + g * (jnp.sqrt(dt) * eps)
         return y1, y1

@@ -18,7 +18,7 @@ TPU-native re-design of ``models/encoders/enc_hivt_nusargo_sde_sep2.py:25-370``:
 """
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Any, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -69,6 +69,7 @@ class LocalEncoderSDESep(nn.Module):
     rtol: float = 1e-3
     atol: float = 1e-3
     remat: bool = False  # rematerialize the AA/AL pair tensors
+    dtype: Any = None    # compute dtype (bfloat16 mixed precision); params stay f32
 
     def setup(self):
         aa_cls = nn.remat(AAEncoder, static_argnums=(7,)) if self.remat else AAEncoder
@@ -79,16 +80,19 @@ class LocalEncoderSDESep(nn.Module):
             self.num_heads,
             self.dropout,
             input_diff=True,  # the reference SDE AAEncoder always substitutes bos
+            dtype=self.dtype,
             name="aa_encoder",
         )
         self.al_encoder = al_cls(
-            self.embed_dim, self.num_heads, self.dropout, name="al_encoder"
+            self.embed_dim, self.num_heads, self.dropout, dtype=self.dtype,
+            name="al_encoder",
         )
         self.sde_rnn = scanned(
             SDEGRUStep,
             "sde_rnn",
             embed_dim=self.embed_dim,
             sde_layers=self.sde_layers,
+            dtype=self.dtype,
         )
         self.hidden = self.param("hidden", TOKEN_INIT, (self.embed_dim,))
 
@@ -161,6 +165,8 @@ class LocalEncoderSDESep(nn.Module):
         aa_out, bos_q, valid_q, nus_row = self._aa_with_twin(scene, deterministic)
 
         h0 = jnp.broadcast_to(self.hidden, (B, A + 1, self.embed_dim))
+        if self.dtype is not None:
+            h0 = h0.astype(self.dtype)
         ys, gs = self._run_rnn(h0, aa_out, valid_q, nus_row)
 
         # per-actor final state: iteration index = ref_time − first bos step
@@ -186,8 +192,11 @@ class LocalEncoderSDESep(nn.Module):
             out, lane_feat, al_vec, al_mask, scene.rotate_mat(), deterministic
         )
 
-        label_in = jnp.full((B,), REAL_LABEL, out.dtype)
-        label_out = jnp.full((B,), FAKE_LABEL, out.dtype)
+        out = out.astype(jnp.float32)
+        diff_in = diff_in.astype(jnp.float32)
+        diff_out = diff_out.astype(jnp.float32)
+        label_in = jnp.full((B,), REAL_LABEL, jnp.float32)
+        label_out = jnp.full((B,), FAKE_LABEL, jnp.float32)
         return out, diff_in, diff_out, label_in, label_out
 
     # ------------------------------------------------------------------
@@ -215,7 +224,8 @@ class LocalEncoderSDESep(nn.Module):
         eos = self.ref_time - jnp.argmax(scene.bos_mask.astype(jnp.int32), axis=-1)
 
         outs = []
-        h0 = jnp.zeros((B, A, self.embed_dim), scene.x.dtype)
+        h0 = jnp.zeros((B, A, self.embed_dim),
+                       scene.x.dtype if self.dtype is None else self.dtype)
         for _ in range(self.eval_iter):
             ys, _ = self._run_rnn(h0, aa_out, valid, nus_row)
             ys_bn = jnp.transpose(ys, (1, 2, 0, 3))
@@ -231,4 +241,4 @@ class LocalEncoderSDESep(nn.Module):
         al_mask, al_vec = graph.al_edges(scene, self.ref_time, self.local_radius)
         lane_feat = graph.lane_features(scene)
         out = self.al_encoder(out, lane_feat, al_vec, al_mask, rot, deterministic)
-        return out, actors_std
+        return out.astype(jnp.float32), actors_std.astype(jnp.float32)

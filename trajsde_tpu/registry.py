@@ -50,6 +50,10 @@ def build(name: str, kwargs: Dict[str, Any]):
     tolerance without the attribute soup.
     """
     ctor = resolve(name)
+    if isinstance(kwargs.get("dtype"), str):
+        import jax.numpy as jnp
+
+        kwargs = dict(kwargs, dtype=jnp.dtype(kwargs["dtype"]))
     sig = inspect.signature(ctor)
     accepts_var = any(
         p.kind is inspect.Parameter.VAR_KEYWORD for p in sig.parameters.values()

@@ -146,6 +146,22 @@ def make_eval_step(model, metrics) -> Callable:
     return eval_step
 
 
+def device_prefetch(iterator, size: int = 2):
+    """Double-buffered host→device pipeline: keep ``size`` batches in
+    flight so packing/transfer overlaps device compute (the reference
+    leans on 32 dataloader workers + pinned memory for the same overlap,
+    ``Datamodule_nuargo_mix.py:33-44``)."""
+    import collections
+
+    queue = collections.deque()
+    for item in iterator:
+        queue.append(jax.device_put(item))
+        if len(queue) >= size:
+            yield queue.popleft()
+    while queue:
+        yield queue.popleft()
+
+
 @dataclass
 class Trainer:
     """Minimal epoch-driven trainer (L2 analog of the Lightning Trainer)."""
@@ -175,7 +191,7 @@ class Trainer:
         for epoch in range(max_epochs):
             t0 = time.time()
             n_steps = 0
-            for scene in train_batches():
+            for scene in device_prefetch(train_batches()):
                 state, logs = self.train_step(state, scene)
                 n_steps += 1
                 if self.logger is not None:
