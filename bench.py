@@ -37,11 +37,16 @@ def _enable_compile_cache() -> None:
 
 def main() -> None:
     _enable_compile_cache()
+    # hardware-friendly counter-based PRNG: dropout/Brownian mask generation
+    # over the big pair tensors is ~1.24x faster than threefry on v5e
+    jax.config.update("jax_default_prng_impl", "rbg")
     from __graft_entry__ import _build_flagship, _scene
     from trajsde_tpu.losses import diff_bce_loss, l2_loss
     from trajsde_tpu.train.loop import create_train_state, make_train_step
 
-    model = _build_flagship()
+    import jax.numpy as _jnp
+
+    model = _build_flagship(dtype=_jnp.bfloat16)  # mixed precision train step
     scene = _scene(batch_size=BATCH, num_actors=ACTORS, num_lanes=LANES)
     scene = jax.device_put(scene)
 
