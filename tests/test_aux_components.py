@@ -114,3 +114,34 @@ def test_concat_embedding_shape(rng):
     params = mod.init(jax.random.key(0), x)
     out = mod.apply(params, x)
     assert out.shape == (5, 64)
+
+
+def test_nodecay_mask():
+    """HiVT-style decay masking: biases/norms/tokens excluded."""
+    from trajsde_tpu.train.optim import decay_mask
+
+    params = {
+        "encoder": {
+            "attn": {"lin_q": {"kernel": np.ones((4, 4)), "bias": np.ones(4)}},
+            "norm1": {"scale": np.ones(4), "bias": np.ones(4)},
+            "bos_token": np.ones((21, 4)),
+            "gru": {"update_gate_0": {"kernel": np.ones((4, 4))}},
+        }
+    }
+    mask = decay_mask(params)
+    assert mask["encoder"]["attn"]["lin_q"]["kernel"] is True
+    assert mask["encoder"]["attn"]["lin_q"]["bias"] is False
+    assert mask["encoder"]["norm1"]["scale"] is False
+    assert mask["encoder"]["bos_token"] is False
+    assert mask["encoder"]["gru"]["update_gate_0"]["kernel"] is False
+
+
+def test_reduction_mlp_shapes(rng):
+    import jax
+    from trajsde_tpu.models.layers import ReductionMLP
+
+    mod = ReductionMLP(input_dim=32, output_dim=8, num_layers=2)
+    x = jnp.ones((5, 32))
+    params = mod.init(jax.random.key(0), x)
+    out = mod.apply(params, x)
+    assert out.shape == (5, 8)

@@ -156,6 +156,36 @@ class MultiheadSelfAttention(nn.Module):
         return nn.Dense(D, kernel_init=XAVIER, dtype=self.dtype, name="out_proj")(out)
 
 
+class ReductionMLP(nn.Module):
+    """Generic LN/ReLU/Dropout MLP with a dimension-reduction schedule.
+
+    Capability analog of the reference's unused ``MLP`` utility
+    (``models/utils/util.py:161-191``): hidden width
+    ``max(output_dim, input_dim / reduction_factor^i)`` per layer.
+    """
+
+    input_dim: int
+    output_dim: int
+    num_layers: int = 2
+    dropout_rate: float = 0.1
+    reduction_factor: float = 0.5
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        width = max(self.output_dim, int(self.input_dim / self.reduction_factor))
+        for i in range(self.num_layers):
+            x = nn.Dense(width, kernel_init=XAVIER, dtype=self.dtype)(x)
+            x = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype)(x)
+            x = nn.relu(x)
+            x = nn.Dropout(self.dropout_rate)(x, deterministic=deterministic)
+            width = max(
+                self.output_dim,
+                int(self.input_dim / (self.reduction_factor ** (i + 2))),
+            )
+        return nn.Dense(self.output_dim, kernel_init=XAVIER, dtype=self.dtype)(x)
+
+
 class GRUUnit(nn.Module):
     """Masked GRU cell fusing SDE state with per-step observations.
 
