@@ -47,73 +47,71 @@ def _ln_halves(h, scale, bias, D, eps=1e-5):
 
 
 def _aa_kernel(
-    center_ref, xk_ref, posq_ref, posk_ref, rot_ref, mask_ref,
+    u_ref, center_ref, mask_ref,
     wu_ref, bu_ref, ln0s_ref, ln0b_ref, w1_ref, b1_ref,
     lna0s_ref, lna0b_ref, wagg_ref, bagg_ref, lna1s_ref, lna1b_ref,
     wq_ref, bq_ref, wkv_ref, bkv_ref, hsel_ref, hexp_ref,
     out_ref,
-    *, T: int, Aq: int, Ak: int, D: int, H: int,
+    *, rows: int, Ak: int, D: int, H: int,
 ):
-    """Per-scene tile: batch blocks are (1, T, ...); weights full blocks."""
+    """One (scene, step-chunk) tile: a pure fused chain on ``rows`` pairs.
+
+    ``u`` (the 4 rotated pair features) is precomputed by XLA — it is tiny
+    (4 lanes) and elementwise — so the kernel is matmul-dense end to end:
+    ``[rows·Ak, 4]×[4, 2D]`` → blocked ``[2D, 2D]`` → ``[D, 2D]`` k/v, with
+    the masked per-head softmax and aggregation on chip.
+    """
     scale = 1.0 / np.sqrt(D // H)
-    r = rot_ref[0]                  # [Aq, 4] = [R00, R01, R10, R11]
+    P = rows * Ak
 
-    def body(t, _):
-        xk = xk_ref[0, t]           # [Ak, 2]
-        pq = posq_ref[0, t]         # [Aq, 2]
-        pk = posk_ref[0, t]         # [Ak, 2]
-        center = center_ref[0, t]   # [Aq, D]
-        mask = mask_ref[0, t]       # [Aq, Ak] float 0/1
+    u = u_ref[0, 0]                # [P, 4]
+    center = center_ref[0, 0]      # [rows, D]
+    mask = mask_ref[0, 0]          # [rows, Ak] float 0/1
 
-        # rotated pairwise features as rank-1 outer products
-        xk0 = xk[:, 0][None, :]
-        xk1 = xk[:, 1][None, :]
-        xl0 = r[:, 0:1] * xk0 + r[:, 2:3] * xk1
-        xl1 = r[:, 1:2] * xk0 + r[:, 3:4] * xk1
-        e0 = pk[:, 0][None, :] - pq[:, 0:1]
-        e1 = pk[:, 1][None, :] - pq[:, 1:2]
-        el0 = r[:, 0:1] * e0 + r[:, 2:3] * e1
-        el1 = r[:, 1:2] * e0 + r[:, 3:4] * e1
+    h = jnp.dot(u, wu_ref[:], preferred_element_type=jnp.float32) + bu_ref[0, :]
+    h = jax.nn.relu(_ln_halves(h, ln0s_ref[:], ln0b_ref[:], D))
+    h = jnp.dot(h, w1_ref[:], preferred_element_type=jnp.float32) + b1_ref[0, :]
+    s = h[:, :D] + h[:, D:]
+    s = jax.nn.relu(_ln(s, lna0s_ref[0, :], lna0b_ref[0, :]))
+    nbr = jnp.dot(s, wagg_ref[:], preferred_element_type=jnp.float32) + bagg_ref[0, :]
+    nbr = _ln(nbr, lna1s_ref[0, :], lna1b_ref[0, :])
 
-        u = jnp.stack([xl0, xl1, el0, el1], axis=-1).reshape(Aq * Ak, 4)
+    kv = jnp.dot(nbr, wkv_ref[:], preferred_element_type=jnp.float32) + bkv_ref[0, :]
+    q = jnp.dot(center, wq_ref[:], preferred_element_type=jnp.float32) + bq_ref[0, :]
 
-        # two-branch embed chain on 2D lanes
-        h = jnp.dot(u, wu_ref[:], preferred_element_type=jnp.float32) + bu_ref[0, :]
-        h = jax.nn.relu(_ln_halves(h, ln0s_ref[:], ln0b_ref[:], D))
-        h = jnp.dot(h, w1_ref[:], preferred_element_type=jnp.float32) + b1_ref[0, :]
-        s = h[:, :D] + h[:, D:]
-        s = jax.nn.relu(_ln(s, lna0s_ref[0, :], lna0b_ref[0, :]))
-        nbr = jnp.dot(s, wagg_ref[:], preferred_element_type=jnp.float32) + bagg_ref[0, :]
-        nbr = _ln(nbr, lna1s_ref[0, :], lna1b_ref[0, :])
+    k3 = kv[:, :D].reshape(rows, Ak, D)
+    v3 = kv[:, D:].reshape(rows, Ak, D)
+    qk = k3 * q[:, None, :]
+    logits = jax.lax.dot_general(
+        qk, hsel_ref[:],
+        dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale                                    # [rows, Ak, H]
+    logits = jnp.where(mask[:, :, None] > 0, logits, NEG)
+    m = jnp.max(logits, axis=1, keepdims=True)
+    e = jnp.exp(logits - m) * mask[:, :, None]
+    denom = jnp.maximum(jnp.sum(e, axis=1, keepdims=True), 1e-16)
+    alpha = e / denom
+    att = jax.lax.dot_general(
+        alpha, hexp_ref[:],
+        dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                            # [rows, Ak, D]
+    out_ref[0, 0] = jnp.sum(att * v3, axis=1)    # [rows, D]
 
-        kv = jnp.dot(nbr, wkv_ref[:], preferred_element_type=jnp.float32) + bkv_ref[0, :]
-        q = jnp.dot(center, wq_ref[:], preferred_element_type=jnp.float32) + bq_ref[0, :]
 
-        k3 = kv[:, :D].reshape(Aq, Ak, D)
-        v3 = kv[:, D:].reshape(Aq, Ak, D)
-        qk = k3 * q[:, None, :]
-        # per-head sums via one-hot selector: [Aq, Ak, H]
-        logits = jax.lax.dot_general(
-            qk, hsel_ref[:],
-            dimension_numbers=(((2,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * scale
-        logits = jnp.where(mask[:, :, None] > 0, logits, NEG)
-        m = jnp.max(logits, axis=1, keepdims=True)
-        e = jnp.exp(logits - m) * mask[:, :, None]
-        denom = jnp.maximum(jnp.sum(e, axis=1, keepdims=True), 1e-16)
-        alpha = e / denom
-        # expand heads back to lanes and aggregate over senders
-        att = jax.lax.dot_general(
-            alpha, hexp_ref[:],
-            dimension_numbers=(((2,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )                                        # [Aq, Ak, D]
-        agg = jnp.sum(att * v3, axis=1)          # [Aq, D]
-        out_ref[0, t] = agg
-        return 0
-
-    jax.lax.fori_loop(0, T, body, 0)
+def build_pair_features(x_k, pos_q, pos_k, rot):
+    """Rotated pair features ``u [B, T, Aq, Ak, 4]`` (XLA, elementwise)."""
+    xk0 = x_k[..., 0][:, :, None, :]
+    xk1 = x_k[..., 1][:, :, None, :]
+    r = rot
+    xl0 = r[:, None, :, 0:1] * xk0 + r[:, None, :, 2:3] * xk1
+    xl1 = r[:, None, :, 1:2] * xk0 + r[:, None, :, 3:4] * xk1
+    e0 = pos_k[..., 0][:, :, None, :] - pos_q[..., 0][:, :, :, None]
+    e1 = pos_k[..., 1][:, :, None, :] - pos_q[..., 1][:, :, :, None]
+    el0 = r[:, None, :, 0:1] * e0 + r[:, None, :, 2:3] * e1
+    el1 = r[:, None, :, 1:2] * e0 + r[:, None, :, 3:4] * e1
+    return jnp.stack([xl0, xl1, el0, el1], axis=-1)
 
 
 def pack_aa_params(aa_params: Dict) -> Dict[str, jax.Array]:
@@ -195,7 +193,9 @@ def aa_attention_reference(center_norm, x_k, pos_q, pos_k, rot, mask, packed, H)
     return agg.reshape(B, T, Aq, D)
 
 
-@functools.partial(jax.jit, static_argnames=("num_heads", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("num_heads", "interpret", "t_chunk")
+)
 def aa_attention(
     center_norm: jax.Array,  # [B, T, Aq, D] — norm1(center embeddings)
     x_k: jax.Array,          # [B, T, Ak, 2] sender displacement features
@@ -206,50 +206,61 @@ def aa_attention(
     packed: Dict[str, jax.Array],
     num_heads: int,
     interpret: bool = False,
+    t_chunk: int = 3,
 ) -> jax.Array:
-    """Fused pre-gating AA aggregate: returns [B, T, Aq, D]."""
+    """Fused pre-gating AA aggregate: returns [B, T, Aq, D].
+
+    Grid = (B, T/t_chunk); each iteration runs ``t_chunk·Aq·Ak`` pairs
+    through the packed chain as one set of MXU-shaped matmuls.
+    """
     B, T, Aq, D = center_norm.shape
     Ak = x_k.shape[2]
+    while T % t_chunk:
+        t_chunk -= 1
+    TC = T // t_chunk
+    rows = t_chunk * Aq
+    P = rows * Ak
 
-    def spec(arr, block=None, index=None):
-        if block is None:
-            return pl.BlockSpec(arr.shape, lambda b: (0,) * arr.ndim, memory_space=pltpu.VMEM)
-        return pl.BlockSpec(block, index, memory_space=pltpu.VMEM)
+    # [B, TC, ...] layout: per-(scene, chunk) blocks equal the full trailing
+    # dims, satisfying Mosaic's (8, 128)-or-full block constraint
+    u = build_pair_features(
+        x_k.astype(jnp.float32), pos_q.astype(jnp.float32),
+        pos_k.astype(jnp.float32), rot.astype(jnp.float32),
+    ).reshape(B, TC, P, 4)
+    center = center_norm.astype(jnp.float32).reshape(B, TC, rows, D)
+    mask_f = mask.astype(jnp.float32).reshape(B, TC, rows, Ak)
 
-    f32 = lambda a: a.astype(jnp.float32)
-    inputs = [
-        f32(center_norm), f32(x_k), f32(pos_q), f32(pos_k), f32(rot),
-        mask.astype(jnp.float32),
-    ]
-    in_specs = [
-        spec(None, (1, T, Aq, D), lambda b: (b, 0, 0, 0)),
-        spec(None, (1, T, Ak, 2), lambda b: (b, 0, 0, 0)),
-        spec(None, (1, T, Aq, 2), lambda b: (b, 0, 0, 0)),
-        spec(None, (1, T, Ak, 2), lambda b: (b, 0, 0, 0)),
-        spec(None, (1, Aq, 4), lambda b: (b, 0, 0)),
-        spec(None, (1, T, Aq, Ak), lambda b: (b, 0, 0, 0)),
-    ]
+    def w_spec(arr):
+        return pl.BlockSpec(arr.shape, lambda b, t: (0,) * arr.ndim, memory_space=pltpu.VMEM)
+
     order = [
         "wu", "bu", "ln0s", "ln0b", "w1", "b1",
         "lna0s", "lna0b", "wagg", "bagg", "lna1s", "lna1b",
         "wq", "bq", "wkv", "bkv",
     ]
-    weights = [f32(packed[k]) for k in order]
-    in_specs += [spec(w) for w in weights]
+    weights = [packed[k].astype(jnp.float32) for k in order]
     head = D // num_heads
     hsel = jnp.repeat(jnp.eye(num_heads, dtype=jnp.float32), head, axis=0)  # [D, H]
     hexp = hsel.T                                                           # [H, D]
-    in_specs += [spec(hsel), spec(hexp)]
 
-    kernel = functools.partial(
-        _aa_kernel, T=T, Aq=Aq, Ak=Ak, D=D, H=num_heads
-    )
+    in_specs = [
+        pl.BlockSpec((1, 1, P, 4), lambda b, t: (b, t, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, rows, D), lambda b, t: (b, t, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, rows, Ak), lambda b, t: (b, t, 0, 0), memory_space=pltpu.VMEM),
+        *[w_spec(w) for w in weights],
+        w_spec(hsel),
+        w_spec(hexp),
+    ]
+
+    kernel = functools.partial(_aa_kernel, rows=rows, Ak=Ak, D=D, H=num_heads)
     out = pl.pallas_call(
         kernel,
-        grid=(B,),
-        out_shape=jax.ShapeDtypeStruct((B, T, Aq, D), jnp.float32),
+        grid=(B, TC),
+        out_shape=jax.ShapeDtypeStruct((B, TC, rows, D), jnp.float32),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, T, Aq, D), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(
+            (1, 1, rows, D), lambda b, t: (b, t, 0, 0), memory_space=pltpu.VMEM
+        ),
         interpret=interpret,
-    )(*inputs, *weights, hsel, hexp)
-    return out.astype(center_norm.dtype)
+    )(u, center, mask_f, *weights, hsel, hexp)
+    return out.reshape(B, T, Aq, D).astype(center_norm.dtype)
