@@ -79,6 +79,24 @@ def available() -> bool:
     return _load() is not None
 
 
+def _f32(a):
+    """Zero-copy when already C-contiguous float32."""
+    a = np.asarray(a)
+    if a.dtype == np.float32 and a.flags.c_contiguous:
+        return a
+    return np.ascontiguousarray(a, np.float32)
+
+
+def _u8(a):
+    """bool → uint8 as a VIEW (same byte layout), never a copy."""
+    a = np.asarray(a)
+    if a.dtype == np.bool_ and a.flags.c_contiguous:
+        return a.view(np.uint8)
+    if a.dtype == np.uint8 and a.flags.c_contiguous:
+        return a
+    return np.ascontiguousarray(a, np.uint8)
+
+
 def pack_scene_actors(scene, order, dst, b: int, th: int, tf: int) -> None:
     """Native actor gather-copy into batch slice ``b`` of ``dst`` dict."""
     lib = _load()
@@ -87,12 +105,12 @@ def pack_scene_actors(scene, order, dst, b: int, th: int, tf: int) -> None:
     has_y = 0 if y is None else 1
     dummy = np.zeros((1, tf, 2), np.float32)
     lib.pack_scene_actors(
-        np.ascontiguousarray(scene["x"], np.float32),
-        np.ascontiguousarray(y if y is not None else dummy, np.float32),
-        np.ascontiguousarray(scene["positions"], np.float32),
-        np.ascontiguousarray(scene["padding_mask"], np.uint8),
-        np.ascontiguousarray(scene["bos_mask"], np.uint8),
-        np.ascontiguousarray(scene["rotate_angles"], np.float32),
+        _f32(scene["x"]),
+        _f32(y if y is not None else dummy),
+        _f32(scene["positions"]),
+        _u8(scene["padding_mask"]),
+        _u8(scene["bos_mask"]),
+        _f32(scene["rotate_angles"]),
         np.ascontiguousarray(order, np.int32),
         len(order),
         has_y,
@@ -111,10 +129,10 @@ def pack_scene_actors(scene, order, dst, b: int, th: int, tf: int) -> None:
 def pack_scene_lanes(scene, order, dst, b: int, s_dst: int) -> None:
     lib = _load()
     assert lib is not None
-    lp = np.ascontiguousarray(scene["lane_positions"], np.float32)
+    lp = _f32(scene["lane_positions"])
     lib.pack_scene_lanes(
         lp,
-        np.ascontiguousarray(scene["lane_paddings"], np.uint8),
+        _u8(scene["lane_paddings"]),
         np.ascontiguousarray(order, np.int32),
         len(order),
         dst["lane_positions"][b],
