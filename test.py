@@ -42,6 +42,12 @@ def main() -> None:
         action="store_true",
         help="dump per-scene agent predictions (world frame) for submission",
     )
+    parser.add_argument(
+        "--viz-ood",
+        action="store_true",
+        help="with --ood: save per-batch OOD-score scene renderings",
+    )
+    parser.add_argument("--viz-limit", type=int, default=8)
     parser.add_argument("--num-actors", type=int, default=48)
     parser.add_argument("--num-lanes", type=int, default=192)
     args = parser.parse_args()
@@ -89,6 +95,7 @@ def main() -> None:
         if "stds" in out:
             agent_std = gather_agent(out["stds"], scene.agent_index, axis=1)
             result["agent_std"] = (agent_std.sum(), agent_std.shape[0])
+            result["stds_full"] = out["stds"]
         if args.submit:
             # agent modes back in the scene (world) frame + mode scores
             import jax.numpy as jnp
@@ -121,6 +128,11 @@ def main() -> None:
             s, c = contribs["agent_std"]
             std_sum += float(s)
             std_cnt += int(c)
+        if args.viz_ood and "stds_full" in contribs and i < args.viz_limit:
+            from trajsde_tpu.utils.viz import viz_ood as _viz_ood
+
+            _viz_ood(scene, np.asarray(contribs["stds_full"]), 0,
+                     os.path.join("viz_ood", f"batch{i:04d}.png"))
         if "submission" in contribs:
             world, probs = contribs["submission"]
             submissions.append((np.asarray(world), np.asarray(probs)))
