@@ -34,9 +34,11 @@ NEG = -1e9
 
 
 def _ln(x, scale, bias, eps=1e-5):
-    m = jnp.mean(x, axis=-1, keepdims=True)
-    v = jnp.mean((x - m) * (x - m), axis=-1, keepdims=True)
-    return (x - m) * jax.lax.rsqrt(v + eps) * scale + bias
+    """LayerNorm with f32 statistics regardless of input dtype."""
+    x32 = x.astype(jnp.float32)
+    m = jnp.mean(x32, axis=-1, keepdims=True)
+    v = jnp.mean((x32 - m) * (x32 - m), axis=-1, keepdims=True)
+    return ((x32 - m) * jax.lax.rsqrt(v + eps) * scale + bias).astype(x.dtype)
 
 
 def _ln_halves(h, scale, bias, D, eps=1e-5):
@@ -52,7 +54,7 @@ def _aa_kernel(
     lna0s_ref, lna0b_ref, wagg_ref, bagg_ref, lna1s_ref, lna1b_ref,
     wq_ref, bq_ref, wkv_ref, bkv_ref, hsel_ref, hexp_ref,
     out_ref,
-    *, rows: int, Ak: int, D: int, H: int,
+    *, rows: int, Ak: int, D: int, H: int, dtype,
 ):
     """One (scene, step-chunk) tile: a pure fused chain on ``rows`` pairs.
 
@@ -64,16 +66,16 @@ def _aa_kernel(
     scale = 1.0 / np.sqrt(D // H)
     P = rows * Ak
 
-    u = u_ref[0, 0]                # [P, 4]
-    center = center_ref[0, 0]      # [rows, D]
-    mask = mask_ref[0, 0]          # [rows, Ak] float 0/1
+    u = u_ref[0, 0].astype(dtype)          # [P, 4]
+    center = center_ref[0, 0].astype(dtype)  # [rows, D]
+    mask = mask_ref[0, 0]                  # [rows, Ak] float 0/1
 
-    h = jnp.dot(u, wu_ref[:], preferred_element_type=jnp.float32) + bu_ref[0, :]
+    h = (jnp.dot(u, wu_ref[:], preferred_element_type=jnp.float32) + bu_ref[0, :]).astype(dtype)
     h = jax.nn.relu(_ln_halves(h, ln0s_ref[:], ln0b_ref[:], D))
-    h = jnp.dot(h, w1_ref[:], preferred_element_type=jnp.float32) + b1_ref[0, :]
+    h = (jnp.dot(h, w1_ref[:], preferred_element_type=jnp.float32) + b1_ref[0, :]).astype(dtype)
     s = h[:, :D] + h[:, D:]
     s = jax.nn.relu(_ln(s, lna0s_ref[0, :], lna0b_ref[0, :]))
-    nbr = jnp.dot(s, wagg_ref[:], preferred_element_type=jnp.float32) + bagg_ref[0, :]
+    nbr = (jnp.dot(s, wagg_ref[:], preferred_element_type=jnp.float32) + bagg_ref[0, :]).astype(dtype)
     nbr = _ln(nbr, lna1s_ref[0, :], lna1b_ref[0, :])
 
     kv = jnp.dot(nbr, wkv_ref[:], preferred_element_type=jnp.float32) + bkv_ref[0, :]
@@ -194,7 +196,7 @@ def aa_attention_reference(center_norm, x_k, pos_q, pos_k, rot, mask, packed, H)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_heads", "interpret", "t_chunk")
+    jax.jit, static_argnames=("num_heads", "interpret", "t_chunk", "compute_dtype")
 )
 def aa_attention(
     center_norm: jax.Array,  # [B, T, Aq, D] — norm1(center embeddings)
@@ -207,6 +209,7 @@ def aa_attention(
     num_heads: int,
     interpret: bool = False,
     t_chunk: int = 3,
+    compute_dtype: str = "float32",
 ) -> jax.Array:
     """Fused pre-gating AA aggregate: returns [B, T, Aq, D].
 
@@ -238,7 +241,8 @@ def aa_attention(
         "lna0s", "lna0b", "wagg", "bagg", "lna1s", "lna1b",
         "wq", "bq", "wkv", "bkv",
     ]
-    weights = [packed[k].astype(jnp.float32) for k in order]
+    cdt = jnp.dtype(compute_dtype)
+    weights = [packed[k].astype(cdt) for k in order]
     head = D // num_heads
     hsel = jnp.repeat(jnp.eye(num_heads, dtype=jnp.float32), head, axis=0)  # [D, H]
     hexp = hsel.T                                                           # [H, D]
@@ -252,7 +256,9 @@ def aa_attention(
         w_spec(hexp),
     ]
 
-    kernel = functools.partial(_aa_kernel, rows=rows, Ak=Ak, D=D, H=num_heads)
+    kernel = functools.partial(
+        _aa_kernel, rows=rows, Ak=Ak, D=D, H=num_heads, dtype=cdt
+    )
     out = pl.pallas_call(
         kernel,
         grid=(B, TC),
