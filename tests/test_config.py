@@ -53,3 +53,26 @@ def test_reference_config_file_paths_tolerated(tmp_path):
     p.write_text(yaml.safe_dump(cfg))
     model = build_model(load_config(str(p)))
     assert type(model.encoder).__name__ == "LocalEncoderSDESep"
+
+
+import os
+import pytest
+
+
+@pytest.mark.skipif(
+    not os.path.exists("/root/reference/configs/nusargo/hivt_nuSArgo_sdesepenc_sdedec.yml"),
+    reason="reference checkout not present",
+)
+def test_reference_shipped_config_loads_drop_in():
+    """The reference's own shipped YAML builds a working model here."""
+    cfg = load_config("/root/reference/configs/nusargo/hivt_nuSArgo_sdesepenc_sdedec.yml")
+    model = build_model(cfg)
+    assert type(model).__name__ == "PredictionModelSDENet"
+    assert type(model.encoder).__name__ == "LocalEncoderSDESep"
+    assert model.encoder.num_heads == 8 and model.decoder.max_fut_t == 6
+    losses = build_losses(cfg)
+    assert [n for n, _, _ in losses] == ["L2", "DiffBCE"]
+    metrics = make_metrics(
+        [n for n, _ in cfg.metric_specs], [dict(a) for _, a in cfg.metric_specs]
+    )
+    assert [m.name for m in metrics] == ["ADE_T", "FDE_T", "MR_T"]
