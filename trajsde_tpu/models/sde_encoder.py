@@ -223,19 +223,27 @@ class LocalEncoderSDESep(nn.Module):
         nus_row = jnp.broadcast_to((scene.source == 0)[:, None], (B, A))
         eos = self.ref_time - jnp.argmax(scene.bos_mask.astype(jnp.int32), axis=-1)
 
-        outs = []
-        h0 = jnp.zeros((B, A, self.embed_dim),
-                       scene.x.dtype if self.dtype is None else self.dtype)
-        for _ in range(self.eval_iter):
-            ys, _ = self._run_rnn(h0, aa_out, valid, nus_row)
-            ys_bn = jnp.transpose(ys, (1, 2, 0, 3))
-            outs.append(
-                jnp.take_along_axis(
-                    ys_bn, eos[:, :, None, None].astype(jnp.int32), axis=2
-                )[:, :, 0, :]
-            )
-        stacked = jnp.stack(outs)                       # [E, B, A, D]
-        actors_std = jnp.std(stacked, axis=0).mean(-1)  # [B, A]
+        # fold the ensemble axis into the batch: ONE scan evaluates all
+        # eval_iter stochastic re-runs (the reference loops them in Python,
+        # ``enc_hivt_nusargo_sde_sep2.py:255``); per-step rngs differ per
+        # row because the fold happens before the scan splits its streams
+        E = self.eval_iter
+        dt = scene.x.dtype if self.dtype is None else self.dtype
+        h0 = jnp.zeros((E * B, A, self.embed_dim), dt)
+        tile = lambda arr: jnp.concatenate([arr] * E, axis=0)
+        ys, _ = self._run_rnn(
+            h0,
+            tile(aa_out),
+            tile(valid),
+            tile(nus_row),
+        )                                                # [Th, E·B, A, D]
+        ys_bn = jnp.transpose(ys, (1, 2, 0, 3))          # [E·B, A, Th, D]
+        eos_t = jnp.concatenate([eos] * E, axis=0)
+        picked = jnp.take_along_axis(
+            ys_bn, eos_t[:, :, None, None].astype(jnp.int32), axis=2
+        )[:, :, 0, :]
+        stacked = picked.reshape(E, B, A, self.embed_dim)
+        actors_std = jnp.std(stacked, axis=0).mean(-1)   # [B, A]
         out = stacked.mean(0)
 
         al_mask, al_vec = graph.al_edges(scene, self.ref_time, self.local_radius)
