@@ -116,3 +116,27 @@ def test_mr_t_rules(rng):
             jnp.asarray(source), dataset=dataset, end_idcs=(59, 29),
         )
         assert 0 <= float(s) <= float(c)
+
+
+def test_per_source_metric_breakdown(rng):
+    """Per-domain variants partition the aggregate exactly."""
+    from trajsde_tpu.train.metrics import make_metrics
+
+    pred, target, mask, source = _metric_inputs(rng)
+    metrics = make_metrics(
+        ["ADE_T"],
+        [{"dataset": "nuScenes", "end_idcs": [59, 29], "sources": [0, 1],
+          "per_source": True}],
+    )
+    assert [m.name for m in metrics] == ["ADE_T", "ADE_T_src0", "ADE_T_src1"]
+    sums, counts = {}, {}
+    for m in metrics:
+        s, c = m.update_fn(
+            jnp.asarray(pred), jnp.asarray(target), jnp.asarray(mask),
+            jnp.asarray(source),
+        )
+        sums[m.name], counts[m.name] = float(s), int(c)
+    assert counts["ADE_T"] == counts["ADE_T_src0"] + counts["ADE_T_src1"]
+    np.testing.assert_allclose(
+        sums["ADE_T"], sums["ADE_T_src0"] + sums["ADE_T_src1"], rtol=1e-5
+    )

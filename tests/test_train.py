@@ -135,3 +135,22 @@ def test_trainer_fit_one_epoch(rng, tmp_path):
         np.asarray(jax.tree_util.tree_leaves(restored.params)[0]),
         np.asarray(jax.tree_util.tree_leaves(state.params)[0]),
     )
+
+
+def test_training_is_deterministic(rng):
+    """Fixed seeds ⇒ bit-identical parameters after several steps."""
+    scene = _scene(rng)
+    model = make_sde()
+    opt = optax.adamw(1e-3)
+    losses = [("L2", 1.0, l2_loss), ("DiffBCE", 1.0, diff_bce_loss)]
+
+    def run():
+        state = create_train_state(model, opt, scene, seed=7)
+        step = make_train_step(model, opt, losses, donate=False)
+        for _ in range(3):
+            state, _ = step(state, scene)
+        return state.params
+
+    p1, p2 = run(), run()
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

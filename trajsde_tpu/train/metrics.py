@@ -114,16 +114,35 @@ class TransferMetric:
     Mirrors the torchmetrics API surface used by the reference model bases
     (``update(pred, target, reg_mask, source)`` / ``compute()`` / ``reset()``)
     — with the epoch-boundary reset the reference forgot (SURVEY §2.2 warts).
+
+    ``source_filter`` restricts the accumulation to one domain (0 =
+    nuScenes, 1 = Argoverse) for per-source transfer breakdowns — a
+    capability the reference's aggregate-only metrics lack.
     """
 
-    def __init__(self, name: str, dataset: str, end_idcs: Sequence[int], **kwargs):
+    def __init__(
+        self,
+        name: str,
+        dataset: str,
+        end_idcs: Sequence[int],
+        source_filter: int = None,
+        **kwargs,
+    ):
         extra = {}
         if name == "MR_T" and "miss_threshold" in kwargs:
             extra["miss_threshold"] = kwargs["miss_threshold"]
-        self.name = name
-        self.update_fn = partial(
+        base = partial(
             _UPDATE_FNS[name], dataset=dataset, end_idcs=tuple(end_idcs), **extra
         )
+        self.name = name if source_filter is None else f"{name}_src{source_filter}"
+        if source_filter is None:
+            self.update_fn = base
+        else:
+            def filtered(pred, target, reg_mask, source, _base=base, _sf=source_filter):
+                keep = source == _sf
+                return _base(pred, target, reg_mask & keep[:, None], source)
+
+            self.update_fn = filtered
         self.reset()
 
     def reset(self) -> None:
@@ -143,7 +162,14 @@ class TransferMetric:
 
 
 def make_metrics(names, metric_args) -> list:
-    return [
-        TransferMetric(name, **{k: v for k, v in args.items() if k != "sources"})
-        for name, args in zip(names, metric_args)
-    ]
+    """Build metric accumulators; ``per_source: true`` in an args dict adds
+    per-domain variants (``<name>_src0`` / ``<name>_src1``) alongside the
+    aggregate."""
+    metrics = []
+    for name, args in zip(names, metric_args):
+        kwargs = {k: v for k, v in args.items() if k not in ("sources", "per_source")}
+        metrics.append(TransferMetric(name, **kwargs))
+        if args.get("per_source"):
+            for sf in args.get("sources", [0, 1]):
+                metrics.append(TransferMetric(name, source_filter=sf, **kwargs))
+    return metrics
