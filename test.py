@@ -131,8 +131,9 @@ def main() -> None:
         if args.viz_ood and "stds_full" in contribs and i < args.viz_limit:
             from trajsde_tpu.utils.viz import viz_ood as _viz_ood
 
+            viz_dir = os.path.join(os.path.dirname(ckpt_dir), "out", "viz_ood")
             _viz_ood(scene, np.asarray(contribs["stds_full"]), 0,
-                     os.path.join("viz_ood", f"batch{i:04d}.png"))
+                     os.path.join(viz_dir, f"batch{i:04d}.png"))
         if "submission" in contribs:
             world, probs = contribs["submission"]
             submissions.append((np.asarray(world), np.asarray(probs)))
