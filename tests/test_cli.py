@@ -76,12 +76,15 @@ def test_train_then_test_cli(tmp_path, rng):
     # OOD scoring path end-to-end
     r = subprocess.run(
         [sys.executable, "test.py", "-c", cfg, "--ckpt", ckpt, "--ood",
+         "--viz-ood", "--viz-limit", "1",
          "--num-actors", "6", "--num-lanes", "8"],
         env=ENV, capture_output=True, text=True, timeout=1200,
     )
     assert r.returncode == 0, r.stderr[-3000:]
     ood_results = json.loads(r.stdout.strip().splitlines()[-1])
     assert "agent_std_mean" in ood_results and ood_results["agent_std_mean"] >= 0
+    viz_dir = os.path.join(os.path.dirname(ckpt_dir), "out", "viz_ood")
+    assert os.listdir(viz_dir), "viz-ood produced no renderings"
     out_dir = os.path.join(os.path.dirname(ckpt_dir), "out")
     subs = [f for f in os.listdir(out_dir) if f.startswith("submission_")]
     assert subs
