@@ -155,3 +155,34 @@ def test_bf16_mixed_precision_forward(rng):
         float(jnp.abs(out16["pi"]).mean()),
         rtol=0.15,
     )
+
+
+def test_aggregator_rotate_false(rng):
+    """The non-rotated rel-embed path (``agg_hivt.py:29-30,44-45``)."""
+    scene = _scene(rng)
+    agg = GlobalInteractor(
+        historical_steps=TH, embed_dim=D, num_modes=K, num_heads=4, rotate=False
+    )
+    local = jnp.ones((B, A, D))
+    params = jax.jit(agg.init)(jax.random.key(0), scene, local)
+    out = jax.jit(agg.apply)(params, scene, local)
+    assert out.shape == (B, K, A, D)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_laplace_nll_config_trains(rng):
+    """A config using the LaplaceNLL loss plugs in and produces gradients."""
+    import optax
+    from trajsde_tpu.losses import laplace_nll_loss
+    from trajsde_tpu.train.loop import create_train_state, make_train_step
+
+    scene = _scene(rng)
+    model = make_baseline()
+    opt = optax.adamw(1e-3)
+    state = create_train_state(model, opt, scene)
+    step = make_train_step(model, opt, [("LaplaceNLLLoss", 1.0, laplace_nll_loss)], donate=False)
+    state, logs = step(state, scene)
+    assert np.isfinite(float(logs["train/total"]))
+    # the scale head now receives gradient (unlike the L2-only recipe)
+    state2, logs2 = step(state, scene)
+    assert float(logs2["train/total"]) != float(logs["train/total"])
