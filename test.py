@@ -50,6 +50,12 @@ def main() -> None:
     parser.add_argument("--viz-limit", type=int, default=8)
     parser.add_argument("--num-actors", type=int, default=48)
     parser.add_argument("--num-lanes", type=int, default=192)
+    parser.add_argument(
+        "--only-agent",
+        action="store_true",
+        help="filter each batch to the focal agents before metric update "
+        "(reference `only_agent`, model_base_mix.py:133-137)",
+    )
     args = parser.parse_args()
 
     from trajsde_tpu.config import build_model, load_config
@@ -82,14 +88,30 @@ def main() -> None:
     state = state.replace(params=params)
 
     ood = args.ood
+    only_agent = args.only_agent
+    # delta-target mode: metrics must be computed on cumsummed (absolute)
+    # trajectories (``model_base_mix.py:143-145``)
+    is_gtabs = (cfg.datamodule.get("test_dataset_args") or {}).get("is_gtabs", True)
 
     @jax.jit
     def eval_step(params, scene, key):
         kwargs = {"ood": True} if ood else {}
         out = model.apply({"params": params}, scene, rngs={"sde": key}, **kwargs)
+        if only_agent:
+            from trajsde_tpu.data.transforms import (
+                leave_only_agent,
+                leave_only_agent_output,
+            )
+
+            if "stds" in out:
+                from trajsde_tpu.data.transforms import _take
+
+                out["stds"] = _take(out["stds"], scene.agent_index, axis=1)
+            out = leave_only_agent_output(out, scene.agent_index)
+            scene = leave_only_agent(scene)
         result = {}
         if out.get("y") is not None:
-            pred, target, reg_mask, source = agent_slices(scene, out)
+            pred, target, reg_mask, source = agent_slices(scene, out, is_gtabs)
             for m in metrics:
                 result[m.name] = m.update_fn(pred, target, reg_mask, source)
         if "stds" in out:
@@ -112,7 +134,10 @@ def main() -> None:
             )
             world = jnp.einsum("bktj,bji->bkti", loc, rot_t) + origin[:, None, None]
             pi = gather_agent(out["pi"], scene.agent_index, axis=1)
-            result["submission"] = (world, jax.nn.softmax(pi, axis=-1))
+            seq = scene.seq_id if scene.seq_id is not None else jnp.zeros(
+                (world.shape[0],), jnp.int32
+            )
+            result["submission"] = (world, jax.nn.softmax(pi, axis=-1), seq, scene.source)
         return result
 
     key = jax.random.key(0)
@@ -135,8 +160,10 @@ def main() -> None:
             _viz_ood(scene, np.asarray(contribs["stds_full"]), 0,
                      os.path.join(viz_dir, f"batch{i:04d}.png"))
         if "submission" in contribs:
-            world, probs = contribs["submission"]
-            submissions.append((np.asarray(world), np.asarray(probs)))
+            world, probs, seq, src = contribs["submission"]
+            submissions.append(
+                (np.asarray(world), np.asarray(probs), np.asarray(seq), np.asarray(src))
+            )
 
     results = {m.name: m.compute() for m in metrics}
     if std_cnt:
@@ -149,10 +176,14 @@ def main() -> None:
     with open(out_path, "w") as f:
         json.dump(results, f, indent=2)
     if submissions:
+        # keyed by scene identity (the reference's result JSON is keyed per
+        # sample, ``model_base_mix.py:152-167``)
         np.savez(
             os.path.join(out_dir, f"submission_{stem}.npz"),
-            trajectories=np.concatenate([w for w, _ in submissions]),
-            probabilities=np.concatenate([p for _, p in submissions]),
+            trajectories=np.concatenate([w for w, _, _, _ in submissions]),
+            probabilities=np.concatenate([p for _, p, _, _ in submissions]),
+            seq_ids=np.concatenate([s for _, _, s, _ in submissions]),
+            sources=np.concatenate([c for _, _, _, c in submissions]),
         )
     print(json.dumps(results))
 

@@ -43,6 +43,20 @@ def main() -> None:
     parser.add_argument("--num-lanes", type=int, default=192)
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument(
+        "--profile",
+        type=int,
+        default=None,
+        metavar="STEP",
+        help="capture a jax.profiler trace of 5 steps starting at STEP "
+        "(written to <run_dir>/profile)",
+    )
+    parser.add_argument(
+        "--log-every",
+        type=int,
+        default=1,
+        help="train-scalar log cadence; each log syncs host<->device",
+    )
+    parser.add_argument(
         "--prng",
         default="rbg",
         choices=["rbg", "threefry2x32"],
@@ -55,7 +69,11 @@ def main() -> None:
     from trajsde_tpu.data.loader import DataModuleNuArgoMix
     from trajsde_tpu.parallel import mesh as mesh_lib
     from trajsde_tpu.train.checkpoint import CheckpointManager
-    from trajsde_tpu.train.logging import ExperimentLogger, snapshot_sources
+    from trajsde_tpu.train.logging import (
+        ExperimentLogger,
+        ProfilerHook,
+        snapshot_sources,
+    )
     from trajsde_tpu.train.loop import Trainer, create_train_state
     from trajsde_tpu.train.metrics import make_metrics
     from trajsde_tpu.train.optim import build_optimizer
@@ -103,6 +121,9 @@ def main() -> None:
         checkpointer=checkpointer,
         monitor=args.monitor,
         ts_drop_rate=float(ts_drop) if ts_drop else 0.0,
+        is_gtabs=(cfg.datamodule.get("val_dataset_args") or {}).get("is_gtabs", True),
+        profiler=ProfilerHook(run_dir, args.profile) if args.profile else None,
+        log_every=max(1, args.log_every),
     )
     max_epochs = args.epochs or cfg.training.get("max_epochs", 1)
 

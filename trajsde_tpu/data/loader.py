@@ -57,8 +57,17 @@ class NuArgoDataset:
         random_flip: bool = False,
         is_gtabs: bool = True,
         seed: int = 0,
+        type: str = "grid",
         **_unused,
     ):
+        # the 'continuous' irregular-timestamp mode is NotImplementedError
+        # in the reference too (``nuScenes_Argoverse.py:198-199``); refuse
+        # loudly rather than silently grid-aligning
+        if type != "grid":
+            raise NotImplementedError(
+                f"dataset type {type!r} is not supported (grid only; the "
+                "reference's 'continuous' mode is unimplemented there as well)"
+            )
         self.split = split
         self.random_flip = random_flip
         self.is_gtabs = is_gtabs
@@ -82,6 +91,14 @@ class NuArgoDataset:
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
         scene = load_scene_npz(self.paths[idx])
         scene["source"] = np.int32(self.sources[idx])
+        if "seq_id" not in scene:
+            # scene identity for submissions / per-sample result keying
+            # (the reference keys its result JSON by sample,
+            # ``model_base_mix.py:152-167``): digits of the shard filename,
+            # falling back to the dataset index
+            stem = os.path.splitext(os.path.basename(self.paths[idx]))[0]
+            digits = "".join(ch for ch in stem if ch.isdigit())
+            scene["seq_id"] = np.int32(int(digits[-9:]) if digits else idx)
         scene = align_to_grid(scene, is_gtabs=self.is_gtabs)
         if self.split == "train" and self.random_flip:
             scene = random_flip(scene, self._rng)
@@ -176,6 +193,7 @@ class DataModuleNuArgoMix:
                 argo=args.get("Argo", True),
                 random_flip=args.get("random_flip", False),
                 is_gtabs=args.get("is_gtabs", True),
+                type=args.get("type", "grid"),
             )
 
         self.train_dataset = mk("train", tr_dataset_args)

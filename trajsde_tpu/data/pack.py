@@ -87,6 +87,12 @@ def pack_scenes(
     lane_paddings = np.ones((B, L, S), bool)
     lane_valid = np.zeros((B, L), bool)
     has_y = any(s.get("y") is not None for s in scenes)
+    # optional parity extras: goal-lane labels (``Argoverse_abs.py:343-391``)
+    # and scene identity for submissions (``model_base_mix.py:152-167``)
+    has_goals = any(s.get("goal_idcs") is not None for s in scenes)
+    goal_idcs = np.zeros((B, A, L), np.float32) if has_goals else None
+    has_goal = np.zeros((B, A), bool) if has_goals else None
+    seq_id = np.zeros((B,), np.int32)
 
     dst = dict(
         x=x, y=y, positions=positions, padding=padding, bos=bos,
@@ -125,6 +131,15 @@ def pack_scenes(
         agent_index[b] = inv[int(scene["agent_index"])]
         av_index[b] = inv.get(int(scene["av_index"]), 0)
         source[b] = int(scene["source"])
+        seq_id[b] = int(scene.get("seq_id", b))
+        if has_goals and scene.get("goal_idcs") is not None:
+            g = np.asarray(scene["goal_idcs"], np.float32)[order][:, lorder]
+            goal_idcs[b, :n, :m] = g
+            hg = scene.get("has_goal")
+            if hg is None:
+                has_goal[b, :n] = g.any(-1)
+            else:
+                has_goal[b, :n] = np.asarray(hg, bool)[order]
 
     conv = jnp.asarray if as_jax else (lambda a: a)
     return SceneBatch(
@@ -141,4 +156,7 @@ def pack_scenes(
         lane_positions=conv(lane_positions),
         lane_paddings=conv(lane_paddings),
         lane_valid=conv(lane_valid),
+        goal_idcs=conv(goal_idcs) if has_goals else None,
+        has_goal=conv(has_goal) if has_goals else None,
+        seq_id=conv(seq_id),
     )

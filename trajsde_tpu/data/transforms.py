@@ -41,6 +41,20 @@ def _take(arr, idx, axis=1):
     return jnp.take_along_axis(arr, bidx, axis=axis)
 
 
+def leave_only_agent_output(output: dict, agent_index: jax.Array) -> dict:
+    """Filter a decoder output dict to the focal-agent rows (size-1 actor
+    axis), the output half of ``leave_only_agent``
+    (``model_base_mix.py:188-195``)."""
+    out = dict(output)
+    out["loc"] = _take(output["loc"], agent_index, axis=2)
+    out["reg_mask"] = _take(output["reg_mask"], agent_index, axis=1)
+    if output.get("pi") is not None:
+        out["pi"] = _take(output["pi"], agent_index, axis=1)
+    if output.get("y") is not None:
+        out["y"] = _take(output["y"], agent_index, axis=1)
+    return out
+
+
 def leave_only_agent(scene: SceneBatch) -> SceneBatch:
     idx = scene.agent_index
     zeros = jnp.zeros_like(scene.agent_index)
@@ -53,6 +67,8 @@ def leave_only_agent(scene: SceneBatch) -> SceneBatch:
         bos_mask=_take(scene.bos_mask, idx),
         rotate_angles=_take(scene.rotate_angles, idx),
         actor_valid=_take(scene.actor_valid, idx),
+        goal_idcs=_take(scene.goal_idcs, idx),
+        has_goal=_take(scene.has_goal, idx),
         agent_index=zeros,
         av_index=zeros,
     )

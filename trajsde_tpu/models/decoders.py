@@ -120,6 +120,10 @@ class SDEDecoder(nn.Module):
     dtype: Any = None
 
     def setup(self):
+        if self.method != "euler":
+            raise NotImplementedError(
+                f"SDE method {self.method!r} is not supported (euler only)"
+            )
         D = self.local_channels
         self.aggr_dense = nn.Dense(D, kernel_init=XAVIER, dtype=self.dtype)
         self.aggr_ln = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype)

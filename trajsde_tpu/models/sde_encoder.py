@@ -61,7 +61,9 @@ class LocalEncoderSDESep(nn.Module):
     node_dim: int = 2
     edge_dim: int = 2
     input_diff: bool = True
-    # accepted for config parity (fixed-grid Euler only, like the shipped cfg)
+    # accepted for config parity — but only the shipped-config combination
+    # (fixed-grid Euler, no adjoint) is implemented; anything else raises
+    # loudly in setup() instead of silently degrading
     parallel: bool = True
     adjoint: bool = False
     method: str = "euler"
@@ -72,6 +74,25 @@ class LocalEncoderSDESep(nn.Module):
     dtype: Any = None    # compute dtype (bfloat16 mixed precision); params stay f32
 
     def setup(self):
+        # the reference's adaptive+dual solver branch is broken anyway
+        # (``sdeint.py:354-358`` calls the 4-arg step) and its shipped
+        # configs set ``adaptive: false``; refuse rather than ignore
+        if self.adaptive:
+            raise NotImplementedError(
+                "adaptive SDE stepping is not supported (fixed-grid Euler only; "
+                "the reference's adaptive+dual branch is broken too, "
+                "sdeint.py:354-358)"
+            )
+        if self.method != "euler":
+            raise NotImplementedError(
+                f"SDE method {self.method!r} is not supported (euler only)"
+            )
+        if self.adjoint:
+            raise NotImplementedError(
+                "adjoint SDE gradients are not supported (the shipped reference "
+                "configs backprop through the unrolled Euler scheme, "
+                "configs/...sdedec.yml:41)"
+            )
         aa_cls = nn.remat(AAEncoder, static_argnums=(7,)) if self.remat else AAEncoder
         al_cls = nn.remat(ALEncoder, static_argnums=(6,)) if self.remat else ALEncoder
         self.aa_encoder = aa_cls(

@@ -100,5 +100,11 @@ class ProfilerHook:
             jax.profiler.start_trace(self.trace_dir)
             self._active = True
         elif step >= self.stop_step and self._active:
+            self.stop()
+
+    def stop(self) -> None:
+        """Flush an open trace (also called at fit() end so short runs
+        still produce a profile)."""
+        if self._active:
             jax.profiler.stop_trace()
             self._active = False

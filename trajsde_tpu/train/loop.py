@@ -54,12 +54,25 @@ def gather_agent(arr: jax.Array, agent_index: jax.Array, axis: int) -> jax.Array
     ]
 
 
-def agent_slices(scene: SceneBatch, output: Dict[str, jax.Array]):
+def agent_slices(
+    scene: SceneBatch, output: Dict[str, jax.Array], is_gtabs: bool = True
+):
     """(pred [B,K,Tf,2], target [B,Tf,2], reg_mask [B,Tf], source [B]) —
-    the focal-agent views metrics consume (``model_base_mix.py:121-124``)."""
+    the focal-agent views metrics consume (``model_base_mix.py:121-124``).
+
+    ``is_gtabs=False`` (delta-target mode) cumsums both the predicted and
+    target displacements back into the absolute agent frame before metric
+    computation (``model_base_mix.py:143-145``).  Deviation noted for the
+    record: the reference applies the conversion only in ``test_step`` and
+    evaluates *validation* metrics in delta space — here both eval paths
+    convert, so the monitored metric is always in meters.
+    """
     pred = gather_agent(output["loc"][..., :2], scene.agent_index, axis=2)
     target = gather_agent(output["y"], scene.agent_index, axis=1)
     reg_mask = gather_agent(output["reg_mask"], scene.agent_index, axis=1)
+    if not is_gtabs:
+        pred = jnp.cumsum(pred, axis=-2)
+        target = jnp.cumsum(target, axis=-2)
     return pred, target, reg_mask, scene.source
 
 
@@ -132,13 +145,13 @@ def make_train_step(
     return train_step
 
 
-def make_eval_step(model, metrics) -> Callable:
+def make_eval_step(model, metrics, is_gtabs: bool = True) -> Callable:
     """Jitted eval step → per-metric (sum, count) contributions."""
 
     @jax.jit
     def eval_step(params, scene: SceneBatch, sde_key):
         out = model.apply({"params": params}, scene, rngs={"sde": sde_key})
-        pred, target, reg_mask, source = agent_slices(scene, out)
+        pred, target, reg_mask, source = agent_slices(scene, out, is_gtabs)
         return {
             m.name: m.update_fn(pred, target, reg_mask, source) for m in metrics
         }
@@ -174,12 +187,15 @@ class Trainer:
     checkpointer: Optional[Any] = None
     monitor: str = "ADE_T"
     ts_drop_rate: float = 0.0
+    is_gtabs: bool = True        # delta-target mode converts eval to meters
+    profiler: Optional[Any] = None  # ProfilerHook — jax.profiler trace window
+    log_every: int = 1           # scalar-log cadence (each log syncs the host)
 
     def __post_init__(self):
         self.train_step = make_train_step(
             self.model, self.optimizer, self.losses, ts_drop_rate=self.ts_drop_rate
         )
-        self.eval_step = make_eval_step(self.model, self.metrics)
+        self.eval_step = make_eval_step(self.model, self.metrics, self.is_gtabs)
 
     def fit(
         self,
@@ -188,24 +204,39 @@ class Trainer:
         val_batches: Callable[[], Iterable[SceneBatch]],
         max_epochs: int,
     ) -> TrainState:
+        # host-side step counter: reading ``state.step`` would force a
+        # device sync every iteration
+        step = int(state.step)
         for epoch in range(max_epochs):
             t0 = time.time()
             n_steps = 0
+            scenes = 0
             for scene in device_prefetch(train_batches()):
                 state, logs = self.train_step(state, scene)
+                step += 1
                 n_steps += 1
-                if self.logger is not None:
-                    self.logger.log_scalars(int(state.step), logs)
+                scenes += scene.batch_size
+                if self.profiler is not None:
+                    self.profiler.on_step(step)
+                if self.logger is not None and step % self.log_every == 0:
+                    self.logger.log_scalars(step, logs)
             results = self.evaluate(state, val_batches)
             dt = time.time() - t0
             if self.logger is not None:
                 self.logger.log_scalars(
-                    int(state.step),
+                    step,
                     {f"val/{k}": v for k, v in results.items()}
-                    | {"epoch_time_s": dt, "epoch": epoch},
+                    | {
+                        "epoch_time_s": dt,
+                        "epoch": epoch,
+                        "perf/steps_per_s": n_steps / max(dt, 1e-9),
+                        "perf/scenes_per_s": scenes / max(dt, 1e-9),
+                    },
                 )
             if self.checkpointer is not None:
-                self.checkpointer.save(state, metric=results.get(self.monitor), step=int(state.step))
+                self.checkpointer.save(state, metric=results.get(self.monitor), step=step)
+        if self.profiler is not None:
+            self.profiler.stop()
         return state
 
     def evaluate(self, state: TrainState, batches) -> Dict[str, float]:

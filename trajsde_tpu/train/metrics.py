@@ -150,15 +150,19 @@ class TransferMetric:
         self._count = 0.0
 
     def accumulate(self, contribution: Tuple[jax.Array, jax.Array]) -> None:
+        # accumulate WITHOUT pulling values to the host: adding device
+        # arrays keeps the (sum, count) pair on device across the whole
+        # epoch so eval never serializes on a per-batch transfer; the only
+        # host sync is the final ``compute()``
         s, c = contribution
-        self._sum += float(s)
-        self._count += float(c)
+        self._sum = self._sum + s
+        self._count = self._count + c
 
     def update(self, pred, target, reg_mask, source) -> None:
         self.accumulate(self.update_fn(pred, target, reg_mask, source))
 
     def compute(self) -> float:
-        return self._sum / max(self._count, 1.0)
+        return float(self._sum) / max(float(self._count), 1.0)
 
 
 def make_metrics(names, metric_args) -> list:
