@@ -44,6 +44,40 @@ def _gather_actor(arr: jax.Array, idx: jax.Array, axis: int) -> jax.Array:
     return jnp.take_along_axis(arr, bidx.astype(jnp.int32), axis=axis)
 
 
+def gather_eos_outputs(
+    ys: jax.Array,
+    gs: jax.Array,
+    bos_q: jax.Array,
+    ref_time: int,
+    agent_index: jax.Array,
+    num_actors: int,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """EOS gather + diffusion split (``enc_hivt_nusargo_sde_sep2.py:184-196``).
+
+    ys [Th, B, A+1, D] / gs [Th, B, A+1] are iteration-ordered scan outputs
+    (iteration k consumed time step Th−1−k); bos_q [B, A+1, Th].  Per-actor
+    final state is taken at iteration ``eos = ref_time − argmax(bos)``; the
+    diffusion taps are the agent row and its twin (slot ``num_actors``),
+    both at the AGENT's eos iteration.  Returns (out [B, A, D],
+    diff_in [B], diff_out [B]).
+    """
+    A = num_actors
+    eos = ref_time - jnp.argmax(bos_q.astype(jnp.int32), axis=-1)  # [B, A+1]
+    ys_bn = jnp.transpose(ys, (1, 2, 0, 3))          # [B, A+1, Th, D]
+    out_all = jnp.take_along_axis(
+        ys_bn, eos[:, :, None, None].astype(jnp.int32), axis=2
+    )[:, :, 0, :]                                     # [B, A+1, D]
+    out = out_all[:, :A]
+
+    gs_bn = jnp.transpose(gs, (1, 2, 0))              # [B, A+1, Th]
+    agent_eos = jnp.take_along_axis(eos[:, :A], agent_index[:, None], axis=1)
+    g_rows_agent = _gather_actor(gs_bn, agent_index, axis=1)[:, 0]  # [B, Th]
+    g_rows_twin = gs_bn[:, A]                                        # [B, Th]
+    diff_in = jnp.take_along_axis(g_rows_agent, agent_eos.astype(jnp.int32), axis=1)[:, 0]
+    diff_out = jnp.take_along_axis(g_rows_twin, agent_eos.astype(jnp.int32), axis=1)[:, 0]
+    return out, diff_in, diff_out
+
+
 class LocalEncoderSDESep(nn.Module):
     """Registry name: ``LocalEncoderSDESepPara2`` (config-compatible kwargs)."""
 
@@ -190,22 +224,10 @@ class LocalEncoderSDESep(nn.Module):
             h0 = h0.astype(self.dtype)
         ys, gs = self._run_rnn(h0, aa_out, valid_q, nus_row)
 
-        # per-actor final state: iteration index = ref_time − first bos step
-        eos = self.ref_time - jnp.argmax(bos_q.astype(jnp.int32), axis=-1)  # [B, A+1]
-        ys_bn = jnp.transpose(ys, (1, 2, 0, 3))          # [B, A+1, Th, D]
-        out_all = jnp.take_along_axis(
-            ys_bn, eos[:, :, None, None].astype(jnp.int32), axis=2
-        )[:, :, 0, :]                                     # [B, A+1, D]
-        out = out_all[:, :A]
-
-        # diffusion taps at the agent's eos iteration (``:187-196``):
-        # the agent row and its twin (slot A), both at the agent's eos index
-        gs_bn = jnp.transpose(gs, (1, 2, 0))              # [B, A+1, Th]
-        agent_eos = jnp.take_along_axis(eos[:, :A], scene.agent_index[:, None], axis=1)
-        g_rows_agent = _gather_actor(gs_bn, scene.agent_index, axis=1)[:, 0]  # [B, Th]
-        g_rows_twin = gs_bn[:, A]                                             # [B, Th]
-        diff_in = jnp.take_along_axis(g_rows_agent, agent_eos.astype(jnp.int32), axis=1)[:, 0]
-        diff_out = jnp.take_along_axis(g_rows_twin, agent_eos.astype(jnp.int32), axis=1)[:, 0]
+        # per-actor final state at eos + agent/twin diffusion taps (``:184-196``)
+        out, diff_in, diff_out = gather_eos_outputs(
+            ys, gs, bos_q, self.ref_time, scene.agent_index.astype(jnp.int32), A
+        )
 
         al_mask, al_vec = graph.al_edges(scene, self.ref_time, self.local_radius)
         lane_feat = graph.lane_features(scene)
