@@ -91,6 +91,34 @@ def test_pack_scenes_truncation_and_remap(rng):
         assert not bool(batch.padding_mask[b, a, 20])  # agent valid at ref
 
 
+def test_bucketed_loader_bounded_shapes_and_truncation(rng, tmp_path):
+    """A mixed-size stream packs into a bounded set of bucket shapes, and
+    truncation by the capacity caps is COUNTED, not silent (VERDICT r1
+    item 7)."""
+    d = tmp_path / "Argoverse" / "train"
+    os.makedirs(d)
+    sizes = [(3, 5), (7, 12), (14, 30), (26, 60), (40, 100), (3, 6), (13, 28), (30, 90)]
+    for i, (na, nl) in enumerate(sizes):
+        raw = make_raw_scene(rng, 1, num_actors=na, num_lanes=nl)
+        np.savez(d / f"s{i}.npz", **raw)
+
+    ds = NuArgoDataset("train", argo_dir=str(tmp_path / "Argoverse"), nus=False)
+    loader = BatchLoader(
+        ds, batch_size=2, num_actors=32, num_lanes=64,
+        shuffle=False, bucket=True,
+    )
+    shapes = {(b.x.shape[1], b.lane_positions.shape[1]) for b in loader}
+    assert len(shapes) <= 3, shapes
+    # caps (32, 64) truncate the (40, 100) scene — and the loss is counted
+    assert all(a <= 32 and l <= 64 for a, l in shapes)
+    assert loader.stats["actors_dropped"] == 8  # 40 − 32
+    assert loader.stats["lanes_dropped"] == 36 + 26  # 100 − 64, 90 − 64
+    assert loader.stats["scenes_truncated"] == 2
+    # non-bucketed loader keeps one fixed shape
+    fixed = BatchLoader(ds, batch_size=2, num_actors=32, num_lanes=64, shuffle=False)
+    assert {(b.x.shape[1], b.lane_positions.shape[1]) for b in fixed} == {(32, 64)}
+
+
 def test_loader_end_to_end(rng, tmp_path):
     for split in ("train", "val"):
         for name, src in (("nuScenes", 0), ("Argoverse", 1)):

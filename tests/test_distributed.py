@@ -37,6 +37,47 @@ def test_sharded_eval_matches_unsharded(rng):
         assert int(plain[name][1]) == int(sharded[name][1])
 
 
+def test_sharded_train_step_matches_unsharded(rng):
+    """One gradient step over the 8-device mesh must produce the SAME
+    parameters as the unsharded step — the DDP-allreduce equivalence for
+    training (VERDICT r1 item 6)."""
+    scene = make_scene_batch(rng, batch_size=8, num_actors=6, num_lanes=8, sources=[0, 1])
+    model = make_baseline()
+    # SGD so the param delta IS lr·grad: AdamW's sign normalization would
+    # amplify f32 reduction-order noise on near-zero grads to ~5% and the
+    # test would measure the optimizer, not the psum
+    opt = optax.sgd(0.1)
+    state = create_train_state(model, opt, scene)
+    step = make_train_step(model, opt, [("L2", 1.0, l2_loss)], donate=False)
+
+    plain_state, plain_logs = step(state, scene)
+
+    mesh = mesh_lib.make_mesh(n_data=8, n_model=1)
+    sh_scene = mesh_lib.shard_batch(scene, mesh)
+    sh_state = jax.device_put(state, mesh_lib.replicated(mesh))
+    sh_new, sh_logs = step(sh_state, sh_scene)
+
+    np.testing.assert_allclose(
+        float(plain_logs["train/total"]), float(sh_logs["train/total"]), rtol=1e-5
+    )
+    for (path, a), (_, b) in zip(
+        jax.tree_util.tree_flatten_with_path(plain_state.params)[0],
+        jax.tree_util.tree_flatten_with_path(sh_new.params)[0],
+    ):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-6,
+            err_msg=jax.tree_util.keystr(path),
+        )
+
+
+def test_init_multihost_single_process_noop(monkeypatch):
+    """Single-process entry is a no-op (the same CLI works everywhere)."""
+    monkeypatch.delenv("TRAJSDE_COORDINATOR", raising=False)
+    monkeypatch.delenv("TRAJSDE_NUM_PROCESSES", raising=False)
+    assert mesh_lib.init_multihost() == 1
+    assert mesh_lib.init_multihost(num_processes=1) == 1
+
+
 def test_nan_guard_skips_bad_step(rng):
     """A poisoned batch must not corrupt parameters."""
     scene = make_scene_batch(rng, batch_size=2, num_actors=6, num_lanes=8)

@@ -57,6 +57,12 @@ def main() -> None:
         help="train-scalar log cadence; each log syncs host<->device",
     )
     parser.add_argument(
+        "--multihost",
+        action="store_true",
+        help="initialize jax.distributed from TRAJSDE_COORDINATOR / "
+        "TRAJSDE_NUM_PROCESSES / TRAJSDE_PROCESS_ID before building the mesh",
+    )
+    parser.add_argument(
         "--prng",
         default="rbg",
         choices=["rbg", "threefry2x32"],
@@ -77,6 +83,10 @@ def main() -> None:
     from trajsde_tpu.train.loop import Trainer, create_train_state
     from trajsde_tpu.train.metrics import make_metrics
     from trajsde_tpu.train.optim import build_optimizer
+
+    if args.multihost:
+        n_proc = mesh_lib.init_multihost()
+        print(f"multihost: {n_proc} processes, {len(jax.devices())} devices")
 
     cfg = load_config(args.config)
     run_dir = os.path.join(args.logdir, args.name)

@@ -26,7 +26,13 @@ import numpy as np
 
 from trajsde_tpu.data.augment import random_flip
 from trajsde_tpu.data.grid import align_to_grid
-from trajsde_tpu.data.pack import pack_scenes
+from trajsde_tpu.data.pack import (
+    ACTOR_BUCKETS,
+    LANE_BUCKETS,
+    pack_scenes,
+    pick_bucket,
+    truncation_stats,
+)
 
 SPLIT_NAME = {
     "nuScenes": {"train": "train", "val": "val", "test": "val"},
@@ -118,6 +124,7 @@ class BatchLoader:
         drop_last: bool = True,
         prefetch: int = 2,
         seed: int = 0,
+        bucket: bool = False,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -126,7 +133,34 @@ class BatchLoader:
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.prefetch = prefetch
+        self.bucket = bucket
+        # when bucketing, (num_actors, num_lanes) are CAPS; each batch packs
+        # to the smallest standard bucket covering its scenes, so small
+        # batches avoid padding waste at the cost of one XLA compile per
+        # distinct bucket actually seen
+        self._actor_buckets = sorted(
+            {b for b in ACTOR_BUCKETS if b < num_actors} | {num_actors}
+        )
+        self._lane_buckets = sorted(
+            {b for b in LANE_BUCKETS if b < num_lanes} | {num_lanes}
+        )
+        # truncation accounting — "no silent caps"
+        self.stats = dict(actors_dropped=0, lanes_dropped=0, scenes_truncated=0)
         self._rng = np.random.default_rng(seed)
+
+    def _pack(self, scenes):
+        A, L = self.num_actors, self.num_lanes
+        if self.bucket:
+            A = pick_bucket(
+                min(max(s["x"].shape[0] for s in scenes), A), self._actor_buckets
+            )
+            L = pick_bucket(
+                min(max(s["lane_positions"].shape[0] for s in scenes), L),
+                self._lane_buckets,
+            )
+        for k, v in truncation_stats(scenes, A, L).items():
+            self.stats[k] += v
+        return pack_scenes(scenes, A, L)
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -148,17 +182,28 @@ class BatchLoader:
             try:
                 for batch_idx in self._batches_indices():
                     scenes = [self.dataset[int(i)] for i in batch_idx]
-                    q.put(pack_scenes(scenes, self.num_actors, self.num_lanes))
+                    q.put(self._pack(scenes))
             finally:
                 q.put(SENTINEL)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
+        start_stats = dict(self.stats)
         while True:
             item = q.get()
             if item is SENTINEL:
                 break
             yield item
+        dropped = {k: self.stats[k] - start_stats[k] for k in self.stats}
+        if dropped["scenes_truncated"]:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "capacity truncation this epoch: %(scenes_truncated)d scenes "
+                "lost %(actors_dropped)d actors / %(lanes_dropped)d lanes "
+                "(raise num_actors/num_lanes to keep them)",
+                dropped,
+            )
 
 
 class DataModuleNuArgoMix:

