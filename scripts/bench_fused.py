@@ -101,8 +101,13 @@ def run_encoder(fused: bool, batch: int, iters: int, rows_bwd: int = 24) -> None
         assert np.isfinite(v)
         print(f"  fused={fused} {tag}: {dt / iters * 1000:.2f} ms", flush=True)
 
+    def fwd_bwd(p, k):
+        # checksum must consume the grads or XLA DCEs the whole backward
+        v, g = jax.value_and_grad(fwd_loss)(p, k)
+        return v + jax.tree_util.tree_reduce(lambda a, b: a + jnp.sum(b), g, 0.0)
+
     timed(fwd_loss, "enc fwd     ")
-    timed(lambda p, k: jax.value_and_grad(fwd_loss)(p, k)[0], "enc fwd+bwd ")
+    timed(fwd_bwd, "enc fwd+bwd ")
 
 
 if __name__ == "__main__":

@@ -119,6 +119,65 @@ def test_bucketed_loader_bounded_shapes_and_truncation(rng, tmp_path):
     assert {(b.x.shape[1], b.lane_positions.shape[1]) for b in fixed} == {(32, 64)}
 
 
+def test_shard_roundtrip_and_loader_equivalence(rng, tmp_path):
+    """Packed shards (data/shards.py): write→read roundtrip and loader
+    equality with the per-scene npz path."""
+    from trajsde_tpu.data.shards import ShardFile, convert_npz_dir, write_shard
+
+    scenes = [make_raw_scene(rng, 1, num_actors=5, num_lanes=8) for _ in range(5)]
+    path = tmp_path / "x.shard"
+    write_shard(str(path), scenes)
+    shard = ShardFile(str(path))
+    assert len(shard) == 5
+    for i, want in enumerate(scenes):
+        got = shard.scene(i)
+        assert set(got) == set(want)
+        for k in want:
+            np.testing.assert_array_equal(np.asarray(got[k]), np.asarray(want[k]))
+
+    # npz dir → shards: the dataset yields identical batches either way
+    npz_dir = tmp_path / "npz" / "Argoverse" / "train"
+    shard_dir = tmp_path / "sh" / "Argoverse" / "train"
+    os.makedirs(npz_dir)
+    for i, s in enumerate(scenes):
+        np.savez(npz_dir / f"s{i}.npz", **s)
+    convert_npz_dir(str(npz_dir), str(shard_dir), scenes_per_shard=2)
+
+    ds_npz = NuArgoDataset("train", argo_dir=str(tmp_path / "npz" / "Argoverse"), nus=False)
+    ds_sh = NuArgoDataset("train", argo_dir=str(tmp_path / "sh" / "Argoverse"), nus=False)
+    assert len(ds_npz) == len(ds_sh) == 5
+    for i in range(5):
+        a, b = ds_npz[i], ds_sh[i]
+        for k in a:
+            np.testing.assert_array_equal(
+                np.asarray(a[k]), np.asarray(b[k]), err_msg=k
+            )
+
+
+def test_multiworker_loader_matches_single(rng, tmp_path):
+    """num_workers > 1 must yield the SAME batches in the SAME order."""
+    d = tmp_path / "Argoverse" / "train"
+    os.makedirs(d)
+    for i in range(12):
+        raw = make_raw_scene(rng, 1, num_actors=5, num_lanes=8)
+        np.savez(d / f"s{i}.npz", **raw)
+    ds = NuArgoDataset("train", argo_dir=str(tmp_path / "Argoverse"), nus=False)
+
+    def batches(workers):
+        return list(
+            BatchLoader(
+                ds, batch_size=3, num_actors=6, num_lanes=10,
+                shuffle=True, seed=7, num_workers=workers,
+            )
+        )
+
+    single, multi = batches(1), batches(3)
+    assert len(single) == len(multi) == 4
+    for a, b in zip(single, multi):
+        np.testing.assert_array_equal(np.asarray(a.x), np.asarray(b.x))
+        np.testing.assert_array_equal(np.asarray(a.seq_id), np.asarray(b.seq_id))
+
+
 def test_loader_end_to_end(rng, tmp_path):
     for split in ("train", "val"):
         for name, src in (("nuScenes", 0), ("Argoverse", 1)):

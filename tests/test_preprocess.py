@@ -69,6 +69,80 @@ def test_assign_goal_lanes_distance_and_angle():
     assert not has_goal[2]                               # heading off by 90°
 
 
+def test_lane_graph_connectivity_rules():
+    """successor / predecessor / proximal extraction
+    (``nuScenes_hivt.py:663-726``)."""
+    from trajsde_tpu.data.preprocess import common
+
+    # segments: lane A chunked into 0,1; lane B = 2; lane C = 3
+    seg_tokens = ["A", "A", "B", "C"]
+    outgoing = {"A": ["B"], "B": ["C"], "C": []}
+    e_succ = common.successor_edges(seg_tokens, outgoing)
+    # chunk 0 chains to chunk 1; lane A's LAST chunk exits to B's first; B→C
+    assert e_succ == [[1], [2], [3], []]
+    e_pred = common.predecessor_edges(e_succ)
+    assert e_pred == [[], [0], [1], [2]]
+
+    # proximal: parallel lanes 2 m apart, same heading, not successors
+    fwd = np.stack([np.arange(5.0), np.zeros(5)], -1).astype(np.float32)
+    positions = [fwd, fwd + [0.0, 2.0], fwd + [0.0, 50.0], np.flip(fwd, 0) + [0.0, 2.0]]
+    vectors = [np.diff(p, axis=0) for p in positions]
+    e_prox = common.proximal_edges(
+        positions, vectors, [[], [], [], []], dist_thresh=4.0
+    )
+    assert 1 in e_prox[0] and 0 in e_prox[1]       # side-by-side, aligned
+    assert 2 not in e_prox[0]                       # too far
+    assert 3 not in e_prox[0] and 0 not in e_prox[3]  # opposite heading
+
+    edges, types = common.lane_edge_arrays(e_succ, e_pred, e_prox)
+    assert edges.shape[0] == 2 and edges.shape[1] == types.shape[0]
+    assert set(np.unique(types)) <= {0.0, 1.0, 2.0}
+
+
+def test_lane2_subsets_reference_semantics():
+    """lane2 edges live in lane-actor-PAIR space (``nuScenes_hivt.py:355-394``)."""
+    from trajsde_tpu.data.preprocess import common
+
+    # actor 0 sees lanes {0, 1}; actor 1 sees lanes {1, 2}
+    lane_actor_index = np.array([[0, 1, 1, 2], [0, 0, 1, 1]])
+    edges = {"succ": [[1], [2], []], "pred": [[], [0], [1]], "neigh": [[], [], []]}
+    lane2 = common.lane2_subsets(lane_actor_index, edges)
+    # actor 0: lane0→lane1 succ maps pair0→pair1; actor 1: lane1→lane2 succ
+    # maps pair2→pair3; lane0→lane1 does NOT appear for actor 1 (no lane 0)
+    assert lane2["succ"].T.tolist() == [[0, 1], [2, 3]]
+    assert lane2["pred"].T.tolist() == [[1, 0], [3, 2]]
+    assert lane2["neigh"].shape == (2, 0)
+
+
+def test_nuscenes_process_scene_with_connectivity(rng):
+    """process_scene consumes the (centerlines, tokens, outgoing) provider
+    and emits lane_edges / lane2_* fields."""
+    from trajsde_tpu.data.preprocess.nuscenes import NUM_FUT, NUM_PAST, process_scene
+
+    steps = [np.arange(NUM_PAST + NUM_FUT), np.arange(NUM_PAST + NUM_FUT)]
+    xy = [
+        np.stack([np.arange(len(steps[0]), dtype=np.float32), np.zeros(len(steps[0]))], -1),
+        np.stack([np.arange(len(steps[0]), dtype=np.float32), np.full(len(steps[0]), 3.0)], -1),
+    ]
+
+    def provider(positions, map_name, radius=80.0):
+        line = np.stack([np.arange(30.0), np.zeros(30)], -1).astype(np.float32)
+        return [line, line + [0.0, 3.5]], ["L0", "L1"], {"L0": [], "L1": []}
+
+    out = process_scene(
+        steps, xy, [0, 0], 0, np.zeros(2, np.float32), np.array([1.0, 0.0]),
+        "map", provider,
+    )
+    assert out["lane_edges"].shape[0] == 2 and out["lane_edges"].shape[1] > 0
+    assert out["lane_edge_types"].shape[0] == out["lane_edges"].shape[1]
+    # the two parallel 3.5 m-apart lanes produce proximal (type 2) edges
+    assert (out["lane_edge_types"] == 2.0).any()
+    # intra-lane chunk chaining produces succ (0) and pred (1) edges
+    assert (out["lane_edge_types"] == 0.0).any() and (out["lane_edge_types"] == 1.0).any()
+    for k in ("lane2_succ", "lane2_pred", "lane2_neigh"):
+        assert out[k].shape[0] == 2
+
+
 def test_argoverse_pipeline_with_fake_lane_provider(rng, tmp_path):
     """CSV → scene → grid → pack end-to-end with a synthetic map."""
     import pandas as pd

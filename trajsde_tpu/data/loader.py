@@ -77,37 +77,66 @@ class NuArgoDataset:
         self.split = split
         self.random_flip = random_flip
         self.is_gtabs = is_gtabs
-        self._rng = np.random.default_rng(seed)
-        self.paths: List[str] = []
+        self.seed = seed
+        # bumped by BatchLoader at each epoch so augmentation draws vary
+        # across epochs yet stay deterministic per (seed, epoch, index) —
+        # independent of worker-thread scheduling (the reference's global
+        # `random` draws are irreproducible, SURVEY §7 hard parts)
+        self.epoch = 0
+        # entries: ("npz", path) or ("shard", ShardFile, scene_idx); packed
+        # shards (data/shards.py) are the fast format — memmap views, no
+        # per-scene zip parsing — and mix freely with per-scene .npz files
+        self._entries: List[tuple] = []
         self.sources: List[int] = []
+
+        def add_domain(root, split_name, source):
+            d = os.path.join(root, split_name)
+            from trajsde_tpu.data.shards import ShardFile, list_shards
+
+            for spath in list_shards(d):
+                shard = ShardFile(spath)
+                for i in range(len(shard)):
+                    self._entries.append(("shard", shard, i))
+                    self.sources.append(source)
+            files = (
+                sorted(f for f in os.listdir(d) if f.endswith(".npz"))
+                if os.path.isdir(d)
+                else []
+            )
+            for f in files:
+                self._entries.append(("npz", os.path.join(d, f), None))
+                self.sources.append(source)
+
         if nus and nu_dir:
-            d = os.path.join(nu_dir, SPLIT_NAME["nuScenes"][split])
-            files = sorted(f for f in os.listdir(d) if f.endswith(".npz")) if os.path.isdir(d) else []
-            self.paths += [os.path.join(d, f) for f in files]
-            self.sources += [0] * len(files)
+            add_domain(nu_dir, SPLIT_NAME["nuScenes"][split], 0)
         if argo and argo_dir:
-            d = os.path.join(argo_dir, SPLIT_NAME["Argoverse"][split])
-            files = sorted(f for f in os.listdir(d) if f.endswith(".npz")) if os.path.isdir(d) else []
-            self.paths += [os.path.join(d, f) for f in files]
-            self.sources += [1] * len(files)
+            add_domain(argo_dir, SPLIT_NAME["Argoverse"][split], 1)
 
     def __len__(self) -> int:
-        return len(self.paths)
+        return len(self._entries)
 
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
-        scene = load_scene_npz(self.paths[idx])
+        kind, a, b = self._entries[idx]
+        if kind == "npz":
+            scene = load_scene_npz(a)
+            if "seq_id" not in scene:
+                # scene identity for submissions / per-sample result keying
+                # (the reference keys its result JSON by sample,
+                # ``model_base_mix.py:152-167``): digits of the filename,
+                # falling back to the dataset index
+                stem = os.path.splitext(os.path.basename(a))[0]
+                digits = "".join(ch for ch in stem if ch.isdigit())
+                scene["seq_id"] = np.int32(int(digits[-9:]) if digits else idx)
+        else:
+            scene = dict(a.scene(b))
+            scene.setdefault("seq_id", np.int32(idx))
         scene["source"] = np.int32(self.sources[idx])
-        if "seq_id" not in scene:
-            # scene identity for submissions / per-sample result keying
-            # (the reference keys its result JSON by sample,
-            # ``model_base_mix.py:152-167``): digits of the shard filename,
-            # falling back to the dataset index
-            stem = os.path.splitext(os.path.basename(self.paths[idx]))[0]
-            digits = "".join(ch for ch in stem if ch.isdigit())
-            scene["seq_id"] = np.int32(int(digits[-9:]) if digits else idx)
         scene = align_to_grid(scene, is_gtabs=self.is_gtabs)
         if self.split == "train" and self.random_flip:
-            scene = random_flip(scene, self._rng)
+            rng = np.random.default_rng(
+                np.random.SeedSequence([self.seed, self.epoch, idx])
+            )
+            scene = random_flip(scene, rng)
         return scene
 
 
@@ -125,6 +154,8 @@ class BatchLoader:
         prefetch: int = 2,
         seed: int = 0,
         bucket: bool = False,
+        num_workers: int = 1,
+        native_pack: bool = True,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -134,6 +165,9 @@ class BatchLoader:
         self.drop_last = drop_last
         self.prefetch = prefetch
         self.bucket = bucket
+        self.num_workers = max(1, num_workers)
+        self.native_pack = native_pack  # C++ batch packer when built
+        self._stats_lock = threading.Lock()
         # when bucketing, (num_actors, num_lanes) are CAPS; each batch packs
         # to the smallest standard bucket covering its scenes, so small
         # batches avoid padding waste at the cost of one XLA compile per
@@ -158,9 +192,10 @@ class BatchLoader:
                 min(max(s["lane_positions"].shape[0] for s in scenes), L),
                 self._lane_buckets,
             )
-        for k, v in truncation_stats(scenes, A, L).items():
-            self.stats[k] += v
-        return pack_scenes(scenes, A, L)
+        with self._stats_lock:
+            for k, v in truncation_stats(scenes, A, L).items():
+                self.stats[k] += v
+        return pack_scenes(scenes, A, L, use_native=self.native_pack)
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -174,7 +209,7 @@ class BatchLoader:
         for i in range(0, stop, self.batch_size):
             yield idx[i : i + self.batch_size]
 
-    def __iter__(self) -> Iterator:
+    def _iter_single(self) -> Iterator:
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         SENTINEL = object()
 
@@ -188,12 +223,56 @@ class BatchLoader:
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        start_stats = dict(self.stats)
         while True:
             item = q.get()
             if item is SENTINEL:
                 break
             yield item
+
+    def _iter_workers(self) -> Iterator:
+        """N packing workers (npz→grid→flip→pack each release the GIL in
+        numpy/C++), results re-ordered by sequence number — the analog of
+        the reference's 32 dataloader workers (``Datamodule...py:33-44``)."""
+        import heapq
+
+        batches = list(self._batches_indices())
+        in_q: queue.Queue = queue.Queue()
+        out_q: queue.Queue = queue.Queue(
+            maxsize=max(self.prefetch, self.num_workers)
+        )
+        for item in enumerate(batches):
+            in_q.put(item)
+
+        def worker():
+            while True:
+                try:
+                    i, batch_idx = in_q.get_nowait()
+                except queue.Empty:
+                    return
+                scenes = [self.dataset[int(j)] for j in batch_idx]
+                out_q.put((i, self._pack(scenes)))
+
+        threads = [
+            threading.Thread(target=worker, daemon=True)
+            for _ in range(self.num_workers)
+        ]
+        for t in threads:
+            t.start()
+        heap, next_i, received = [], 0, 0
+        while received < len(batches):
+            i, batch = out_q.get()
+            received += 1
+            heapq.heappush(heap, (i, id(batch), batch))
+            while heap and heap[0][0] == next_i:
+                yield heapq.heappop(heap)[2]
+                next_i += 1
+
+    def __iter__(self) -> Iterator:
+        if hasattr(self.dataset, "epoch"):
+            self.dataset.epoch += 1
+        start_stats = dict(self.stats)
+        inner = self._iter_workers() if self.num_workers > 1 else self._iter_single()
+        yield from inner
         dropped = {k: self.stats[k] - start_stats[k] for k in self.stats}
         if dropped["scenes_truncated"]:
             import logging
@@ -226,6 +305,8 @@ class DataModuleNuArgoMix:
         tr_dataset_args: Optional[dict] = None,
         val_dataset_args: Optional[dict] = None,
         test_dataset_args: Optional[dict] = None,
+        num_workers: int = 2,
+        bucket: bool = False,
         **_unused,
     ):
         def mk(split, args):
@@ -249,21 +330,26 @@ class DataModuleNuArgoMix:
         self.num_actors = num_actors
         self.num_lanes = num_lanes
         self.shuffle = shuffle
+        self.num_workers = num_workers
+        self.bucket = bucket
 
     def train_loader(self) -> BatchLoader:
         return BatchLoader(
             self.train_dataset, self.train_batch_size, self.num_actors,
             self.num_lanes, shuffle=self.shuffle,
+            num_workers=self.num_workers, bucket=self.bucket,
         )
 
     def val_loader(self) -> BatchLoader:
         return BatchLoader(
             self.val_dataset, self.val_batch_size, self.num_actors,
             self.num_lanes, shuffle=False, drop_last=False,
+            num_workers=self.num_workers, bucket=self.bucket,
         )
 
     def test_loader(self) -> BatchLoader:
         return BatchLoader(
             self.test_dataset, self.val_batch_size, self.num_actors,
             self.num_lanes, shuffle=False, drop_last=False,
+            num_workers=self.num_workers, bucket=self.bucket,
         )

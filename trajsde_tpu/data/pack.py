@@ -82,11 +82,10 @@ def pack_scenes(
 ) -> SceneBatch:
     """Pad/truncate grid-aligned scene dicts into one dense batch.
 
-    ``use_native=True`` routes the gather-copy inner loop through the C++
-    packer (:mod:`trajsde_tpu.runtime`).  Measured honestly, the per-scene
-    ctypes call overhead outweighs the copy savings at these scene sizes
-    (27.6 vs 20.2 ms per 128-scene batch), so numpy is the default; the
-    native path needs a one-call-per-batch ABI to win (round-2 item).
+    ``use_native=True`` routes the gather-copy loop through the C++ packer
+    (:mod:`trajsde_tpu.runtime`) — ONE ``pack_batch`` call per batch with
+    pointer arrays (v2 ABI; the round-1 per-scene ctypes ABI lost to numpy
+    on call overhead, 27.6 vs 20.2 ms / 128-scene batch).
     """
     from trajsde_tpu import runtime
 
@@ -122,19 +121,23 @@ def pack_scenes(
         lane_valid=lane_valid,
     )
 
+    orders = [
+        np.ascontiguousarray(_actor_keep_order(s)[:A], np.int32) for s in scenes
+    ]
+    lorders = [
+        np.ascontiguousarray(_lane_keep_order(s)[:L], np.int32) for s in scenes
+    ]
+    if native:
+        runtime.pack_batch(scenes, orders, lorders, dst, TH, TF, S)
+
     for b, scene in enumerate(scenes):
-        order = _actor_keep_order(scene)[:A].astype(np.int32)
+        order = orders[b]
         n = order.shape[0]
         inv = {int(o): i for i, o in enumerate(order)}
-        lorder = _lane_keep_order(scene)[:L].astype(np.int32)
+        lorder = lorders[b]
         m = lorder.shape[0]
 
-        if native:
-            from trajsde_tpu import runtime
-
-            runtime.pack_scene_actors(scene, order, dst, b, TH, TF)
-            runtime.pack_scene_lanes(scene, lorder, dst, b, S)
-        else:
+        if not native:
             x[b, :n] = scene["x"][order]
             if scene.get("y") is not None:
                 y[b, :n] = scene["y"][order]

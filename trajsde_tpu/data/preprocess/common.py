@@ -172,6 +172,123 @@ def wrap_angle(a: np.ndarray) -> np.ndarray:
     return (a + np.pi) % (2 * np.pi) - np.pi
 
 
+# ---------------------------------------------------------------------------
+# lane-graph connectivity (nuScenes_hivt.py:663-726) — pure geometry; the
+# devkit only supplies the per-lane ``outgoing`` token map
+# ---------------------------------------------------------------------------
+def successor_edges(
+    seg_tokens: List, outgoing: Dict
+) -> List[List[int]]:
+    """Successor edge list per lane segment (``nuScenes_hivt.py:663-681``).
+
+    Consecutive chunks of the same source lane chain front-to-back; a
+    lane's LAST chunk connects to the first listed chunk of each outgoing
+    lane present in the scene.
+    """
+    e_succ: List[List[int]] = []
+    for node_id, tok in enumerate(seg_tokens):
+        e: List[int] = []
+        if node_id + 1 < len(seg_tokens) and seg_tokens[node_id + 1] == tok:
+            e.append(node_id + 1)
+        else:
+            for out_tok in outgoing.get(tok, ()):  # map-api adapter supplied
+                if out_tok in seg_tokens:
+                    e.append(seg_tokens.index(out_tok))
+        e_succ.append(e)
+    return e_succ
+
+
+def predecessor_edges(e_succ: List[List[int]]) -> List[List[int]]:
+    """Transpose of the successor lists (``:684-695``)."""
+    e_pred: List[List[int]] = [[] for _ in e_succ]
+    for node_id, succs in enumerate(e_succ):
+        for s in succs:
+            e_pred[s].append(node_id)
+    return e_pred
+
+
+def proximal_edges(
+    seg_positions: List[np.ndarray],
+    seg_vectors: List[np.ndarray],
+    e_succ: List[List[int]],
+    dist_thresh: float = 4.0,
+    yaw_thresh: float = np.pi / 4,
+) -> List[List[int]]:
+    """Proximal (side-by-side) edges (``:697-726``): non-successor pairs
+    whose closest poses are ≤ ``dist_thresh`` apart and whose mean headings
+    differ by ≤ ``yaw_thresh``."""
+    n = len(seg_positions)
+    yaws = [
+        float(np.arctan2(v[:, 1].mean(), v[:, 0].mean())) for v in seg_vectors
+    ]
+    e_prox: List[List[int]] = [[] for _ in range(n)]
+    for i in range(n):
+        for j in range(i + 1, n):
+            if j in e_succ[i] or i in e_succ[j]:
+                continue
+            d2 = np.min(
+                np.sum(
+                    (seg_positions[i][:, None, :] - seg_positions[j][None, :, :]) ** 2,
+                    axis=-1,
+                )
+            )
+            if d2 <= dist_thresh * dist_thresh:
+                diff = wrap_angle(np.asarray(yaws[i] - yaws[j]))
+                if abs(float(diff)) <= yaw_thresh:
+                    e_prox[i].append(j)
+                    e_prox[j].append(i)
+    return e_prox
+
+
+def lane_edge_arrays(
+    e_succ: List[List[int]],
+    e_pred: List[List[int]],
+    e_prox: List[List[int]],
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Flatten edge lists to ``(lane_edges [2, E], edge_types [E])`` with
+    type ids 0 = succ, 1 = pred, 2 = proximal (``:518-540``)."""
+    src, dst, typ = [], [], []
+    for node_id in range(len(e_succ)):
+        for dst_id in e_succ[node_id]:
+            src.append(node_id), dst.append(dst_id), typ.append(0.0)
+        for dst_id in e_pred[node_id]:
+            src.append(node_id), dst.append(dst_id), typ.append(1.0)
+        for dst_id in e_prox[node_id]:
+            src.append(node_id), dst.append(dst_id), typ.append(2.0)
+    return (
+        np.asarray([src, dst], np.int64).reshape(2, -1),
+        np.asarray(typ, np.float32),
+    )
+
+
+def lane2_subsets(
+    lane_actor_index: np.ndarray, edges: Dict[str, List[List[int]]]
+) -> Dict[str, np.ndarray]:
+    """Per-actor lane-graph edges re-indexed into lane-actor-PAIR space
+    (``nuScenes_hivt.py:355-394``): for each actor, every lane-graph edge
+    whose endpoints are both among the actor's lanes becomes an edge
+    between the corresponding lane-actor pair ids."""
+    out = {k: [] for k in ("succ", "pred", "neigh")}
+    if lane_actor_index.size == 0:
+        return {k: np.zeros((2, 0), np.int64) for k in out}
+    lanes, actors = lane_actor_index
+    edge_ids = np.arange(lanes.shape[0])
+    for actor in np.unique(actors):
+        sel = actors == actor
+        lane4actor, eids = lanes[sel], edge_ids[sel]
+        by_lane: Dict[int, List[int]] = {}
+        for l, e in zip(lane4actor, eids):
+            by_lane.setdefault(int(l), []).append(int(e))
+        for eid, src in zip(eids, lane4actor):
+            for key in out:
+                for dst in edges[key][int(src)]:
+                    for ej in by_lane.get(int(dst), ()):
+                        out[key].append((int(eid), ej))
+    return {
+        k: np.asarray(v, np.int64).reshape(-1, 2).T.copy() for k, v in out.items()
+    }
+
+
 def assign_goal_lanes(
     goal_pos: np.ndarray,
     goal_diff: np.ndarray,

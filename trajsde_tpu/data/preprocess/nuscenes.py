@@ -51,7 +51,12 @@ def category_id(category_name: str) -> int:
 
 
 def devkit_lane_provider(nusc_map_root: str):
-    """Lane provider over ``NuScenesMap`` arcline paths (import-gated)."""
+    """Lane provider over ``NuScenesMap`` arcline paths (import-gated).
+
+    Returns ``(centerlines, tokens, outgoing)`` — the outgoing-lane token
+    map feeds the lane-graph connectivity extraction
+    (``nuScenes_hivt.py:663-681``).
+    """
     from nuscenes.map_expansion.map_api import NuScenesMap  # type: ignore
     from nuscenes.map_expansion import arcline_path_utils  # type: ignore
 
@@ -66,13 +71,15 @@ def devkit_lane_provider(nusc_map_root: str):
             records = nmap.get_records_in_radius(p[0], p[1], radius, ["lane", "lane_connector"])
             lane_tokens.update(records["lane"])
             lane_tokens.update(records["lane_connector"])
-        centerlines = []
+        centerlines, tokens, outgoing = [], [], {}
         for tok in lane_tokens:
             path = nmap.get_arcline_path(tok)
             poses = arcline_path_utils.discretize_lane(path, resolution_meters=1.0)
             if len(poses) >= 2:
                 centerlines.append(np.asarray(poses, np.float32)[:, :2])
-        return centerlines
+                tokens.append(tok)
+                outgoing[tok] = list(nmap.get_outgoing_lane_ids(tok))
+        return centerlines, tokens, outgoing
 
     return provider
 
@@ -101,17 +108,51 @@ def process_scene(
             for st, xy in zip(obs_steps, obs_xy)
         ]
     )
-    centerlines = lane_provider(ref_global[ref_valid], map_name)
-    segments = []
-    for cl in centerlines:
+    provided = lane_provider(ref_global[ref_valid], map_name)
+    if isinstance(provided, tuple):
+        centerlines, lane_tokens, outgoing = provided
+    else:  # legacy provider: centerlines only, no connectivity
+        centerlines, lane_tokens, outgoing = provided, list(range(len(provided))), {}
+    segments, seg_tokens = [], []
+    for cl, tok in zip(centerlines, lane_tokens):
         pts = common.resample_polyline(common.to_scene(cl, origin, rot))
-        segments.extend(common.chunk_centerline(pts, lseg_len))
+        chunks = common.chunk_centerline(pts, lseg_len)
+        segments.extend(chunks)
+        seg_tokens.extend([tok] * len(chunks))
     lanes = common.pad_lane_segments(segments, lseg_len)
+
+    # lane-graph connectivity (nuScenes_hivt.py:449-543,663-726)
+    e_succ = common.successor_edges(seg_tokens, outgoing)
+    e_pred = common.predecessor_edges(e_succ)
+    e_prox = common.proximal_edges(
+        [s["positions"] for s in segments], [s["vectors"] for s in segments], e_succ
+    )
+    lane_edges, lane_edge_types = common.lane_edge_arrays(e_succ, e_pred, e_prox)
 
     goal_pos = tracks["positions"][:, -1]
     goal_diff = tracks["positions"][:, -1] - tracks["positions"][:, -2]
     goal_mask = ~tracks["padding_mask"][:, -1]
     goal_idcs, has_goal = common.assign_goal_lanes(goal_pos, goal_diff, goal_mask, segments)
+
+    # per-actor lane2 subsets in lane-actor-pair space (``:355-394``): the
+    # directional window at the reference step defines the pairs
+    lane_ends = np.stack(
+        [s["positions"][min(int(s["count"]), lseg_len) - 1] for s in segments]
+    ) if segments else np.zeros((0, 2), np.float32)
+    pair_lanes, pair_actors = [], []
+    c, s_ = np.cos(tracks["rotate_angles"]), np.sin(tracks["rotate_angles"])
+    for a in np.nonzero(ref_valid)[0]:
+        vec = lane_ends - tracks["positions"][a, REF_STEP]
+        lon = vec[:, 0] * c[a] + vec[:, 1] * s_[a]
+        lat = -vec[:, 0] * s_[a] + vec[:, 1] * c[a]
+        ok = (-20 < lon) & (lon < 80) & (-50 < lat) & (lat < 50)
+        for l in np.nonzero(ok)[0]:
+            pair_lanes.append(l)
+            pair_actors.append(a)
+    lane_actor_index = np.asarray([pair_lanes, pair_actors], np.int64).reshape(2, -1)
+    lane2 = common.lane2_subsets(
+        lane_actor_index, {"succ": e_succ, "pred": e_pred, "neigh": e_prox}
+    )
 
     return dict(
         **tracks,
@@ -123,6 +164,11 @@ def process_scene(
         av_index=np.int32(agent_track),  # target-centered frame: anchor = agent
         theta=np.float32(theta),
         source=np.int32(0),
+        lane_edges=lane_edges,
+        lane_edge_types=lane_edge_types,
+        lane2_succ=lane2["succ"],
+        lane2_pred=lane2["pred"],
+        lane2_neigh=lane2["neigh"],
     )
 
 
@@ -172,6 +218,19 @@ class NuScenesPreprocessor:
             agent_track = None
             for i, a in enumerate(helper.get_annotations_for_sample(sample_token)):
                 inst = a["instance_token"]
+                # reference actor filter (nuScenes_hivt.py:556-563): vehicles
+                # only, and PARKED vehicles are skipped entirely unless they
+                # are the focal instance — a data-distribution rule, not
+                # just a mask
+                if "vehicle" not in a["category_name"] and inst != instance_token:
+                    continue
+                if (
+                    inst != instance_token
+                    and a["attribute_tokens"]
+                    and "parked"
+                    in nusc.get("attribute", a["attribute_tokens"][0])["name"]
+                ):
+                    continue
                 past = helper.get_past_for_agent(
                     inst, sample_token, seconds=2, in_agent_frame=False
                 )

@@ -115,7 +115,7 @@ class AAEncoder(nn.Module):
     dtype: Any = None
     fused: bool = False      # route the pair chain through the Pallas fused
                              # op with its hand-rolled VJP (same params/math)
-    rows_fwd: int = 128      # fused forward per-tile row budget (VMEM knob)
+    rows_fwd: int = 64       # fused forward per-tile row budget (VMEM knob)
     rows_bwd: int = 24       # fused backward per-tile row budget
 
     @nn.compact
@@ -336,7 +336,7 @@ class LocalEncoder(nn.Module):
     remat: bool = False    # rematerialize the AA/AL pair tensors (memory ↓, FLOPs ↑)
     dtype: Any = None      # compute dtype (bfloat16 for mixed precision); params stay f32
     fused: bool = False    # Pallas fused AA pair chain (custom VJP)
-    rows_fwd: int = 128    # fused forward per-tile row budget (VMEM knob)
+    rows_fwd: int = 64     # fused forward per-tile row budget (VMEM knob)
     rows_bwd: int = 24     # fused backward per-tile row budget
 
     @nn.compact

@@ -107,7 +107,7 @@ class LocalEncoderSDESep(nn.Module):
     remat: bool = False  # rematerialize the AA/AL pair tensors
     dtype: Any = None    # compute dtype (bfloat16 mixed precision); params stay f32
     fused: bool = False  # Pallas fused AA pair chain (custom VJP)
-    rows_fwd: int = 128  # fused forward per-tile row budget (VMEM knob)
+    rows_fwd: int = 64   # fused forward per-tile row budget (VMEM knob)
     rows_bwd: int = 24   # fused backward per-tile row budget
 
     def setup(self):

@@ -79,54 +79,72 @@ def _head_selector(D: int, H: int) -> jax.Array:
     return (row == col).astype(jnp.float32)
 
 
-def pair_chain(q, u, mask_f, keep, ws, *, Ak, H, dropout_rate, dtype):
+def _ln_lean(x, scale, bias, out_dtype, eps=1e-5):
+    """LayerNorm on an f32 tensor, emitting ``out_dtype`` — the cast rides
+    the final elementwise op instead of being its own full-tensor pass."""
+    m = jnp.mean(x, axis=-1, keepdims=True)
+    xc = x - m
+    v = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    inv = jax.lax.rsqrt(v + eps)
+    return ((xc * inv) * scale + bias).astype(out_dtype)
+
+
+def pair_chain(q, u, mask_f, keep, ws, *, Ak, H, dropout_rate, dtype,
+               use_repeat: bool = False):
     """The full pair chain on one tile (pure jnp — shared by the forward
     kernel, the in-kernel VJP recompute, and the test reference).
 
-    q [R, D] · u [R·Ak, 4] · mask_f [R, Ak] · keep [R, Ak·H] or None.
+    q [R, D] · u [R·Ak, 4] · mask_f [R, Ak] · keep [R·Ak, H] or None.
     Returns the pre-gating aggregate [R, D] (f32).
+
+    VPU-lean design: an f32 spine (matmul accumulators must be 32-bit on
+    Mosaic) with casts only where they feed the big ``[P, 128]`` matmuls,
+    LN emitting the cast inline, the MXU-hostile K=4 first layer as four
+    rank-1 outer products, and a flat [P, ·] attention layout — the small
+    [R, Ak, H] softmax is the only grouped tensor.  ``use_repeat`` swaps
+    the head-expand matmul for ``pltpu.repeat`` (forward kernel only — the
+    backward's in-kernel ``jax.vjp`` needs jnp-differentiable ops).
     """
-    wu, bu, ln0s, ln0b, w1, b1, lna0s, lna0b, wagg, bagg, lna1s, lna1b, wkv, bkv = ws
     R, D = q.shape
-    hd = D // H
     cdt = jnp.dtype(dtype)
-    scale = 1.0 / np.sqrt(hd)
+    scale = 1.0 / np.sqrt(D // H)
+    hd = D // H
+    wu, bu, ln0s, ln0b, w1, b1, lna0s, lna0b, wagg, bagg, lna1s, lna1b, wkv, bkv = ws
 
-    # pair embedding chain: [R·Ak, 4] → packed two-branch MLP → nbr [R·Ak, D]
-    h = jnp.dot(u.astype(cdt), wu.astype(cdt), preferred_element_type=jnp.float32)
-    h = (h + bu[0]).astype(cdt)
-    h = _relu(_ln_halves(h, ln0s, ln0b, D))
-    h = jnp.dot(h, w1.astype(cdt), preferred_element_type=jnp.float32) + b1[0]
-    s = (h[:, :D] + h[:, D:]).astype(cdt)
-    s = _relu(_ln(s, lna0s[0], lna0b[0]))
-    nbr = jnp.dot(s, wagg.astype(cdt), preferred_element_type=jnp.float32) + bagg[0]
-    nbr = _ln(nbr.astype(cdt), lna1s[0], lna1b[0])
+    def mm(a, w, b):
+        return jnp.dot(a, w.astype(a.dtype), preferred_element_type=jnp.float32) + b[0]
 
-    # k/v in one matmul; per-head logits via the head-selector matmul
-    kv = jnp.dot(nbr, wkv.astype(cdt), preferred_element_type=jnp.float32) + bkv[0]
-    k3 = kv[:, :D].astype(cdt).reshape(R, Ak, D)
-    v3 = kv[:, D:].astype(cdt).reshape(R, Ak, D)
-    # logits stage stays f32: Mosaic cannot shape-cast bf16 across a unit
-    # middle dim ([R, D] → [R, 1, D]), and f32 accumulation is wanted here
+    # first layer: K=4 would waste the 128-deep MXU — four outer products
+    # on the VPU instead
+    h = bu[0] + sum(u[:, k : k + 1] * wu[k : k + 1, :] for k in range(4))
+    h0 = _ln_lean(h[:, :D], ln0s[0, :D], ln0b[0, :D], cdt)
+    h1 = _ln_lean(h[:, D:], ln0s[0, D:], ln0b[0, D:], cdt)
+    a0 = _relu(jnp.concatenate([h0, h1], axis=-1))       # [P, 2D] cdt
+    z1 = mm(a0, w1, b1)                                  # [P, 2D] f32
+    a1 = _relu(_ln_lean(z1[:, :D] + z1[:, D:], lna0s[0], lna0b[0], cdt))
+    nbr = _ln_lean(mm(a1, wagg, bagg), lna1s[0], lna1b[0], cdt)
+    kv = mm(nbr, wkv, bkv)                               # [P, 2D] f32
+
+    q_exp = jnp.broadcast_to(q[:, None, :], (R, Ak, D)).reshape(R * Ak, D)
     hsel = _head_selector(D, H)
-    qk = k3.astype(jnp.float32) * q.astype(jnp.float32)[:, None, :]
-    logits = jax.lax.dot_general(
-        qk, hsel,
-        dimension_numbers=(((2,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) * scale                                            # [R, Ak, H]
-    logits = jnp.where(mask_f[:, :, None] > 0, logits, NEG)
-    m = jnp.max(logits, axis=1, keepdims=True)
-    e = jnp.exp(logits - m) * mask_f[:, :, None]
-    alpha = e / jnp.maximum(jnp.sum(e, axis=1, keepdims=True), 1e-16)
+    logits = jnp.dot(
+        kv[:, :D] * q_exp, hsel, preferred_element_type=jnp.float32
+    ) * scale                                            # [P, H] f32
+    lg = logits.reshape(R, Ak, H)
+    lg = jnp.where(mask_f[:, :, None] > 0, lg, NEG)
+    m = jnp.max(lg, axis=1, keepdims=True)
+    e = jnp.exp(lg - m) * mask_f[:, :, None]
+    alpha = (e / jnp.maximum(jnp.sum(e, axis=1, keepdims=True), 1e-16)).reshape(
+        R * Ak, H
+    )
     if keep is not None:
-        alpha = alpha * keep.reshape(R, Ak, H) * (1.0 / (1.0 - dropout_rate))
-    att = jax.lax.dot_general(
-        alpha, hsel.T,
-        dimension_numbers=(((2,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )                                                    # [R, Ak, D]
-    return jnp.sum(att * v3.astype(jnp.float32), axis=1)  # [R, D]
+        alpha = alpha * (keep * (1.0 / (1.0 - dropout_rate)))
+    if use_repeat:
+        att = pltpu.repeat(alpha, hd, 1)                 # [P, D] head expand
+    else:
+        att = jnp.dot(alpha, hsel.T, preferred_element_type=jnp.float32)
+    prod = (att * kv[:, D:]).reshape(R, Ak, D)
+    return jnp.sum(prod, axis=1)                         # [R, D] f32
 
 
 # ---------------------------------------------------------------------------
@@ -143,6 +161,7 @@ def _fwd_kernel(q_ref, u_ref, mask_ref, *rest, cfg: FusedCfg, has_keep: bool):
     out_ref[0, 0] = pair_chain(
         q_ref[0, 0], u_ref[0, 0], mask_ref[0, 0], keep, ws,
         Ak=cfg.Ak, H=cfg.H, dropout_rate=cfg.dropout_rate, dtype=cfg.dtype,
+        use_repeat=not cfg.interpret,
     )
 
 
@@ -344,7 +363,7 @@ def fused_aa_aggregate(
     num_heads: int,
     keep: jax.Array = None,
     dropout_rate: float = 0.0,
-    rows_fwd: int = 128,
+    rows_fwd: int = 64,
     rows_bwd: int = 24,
     compute_dtype: str = "float32",
     interpret: bool = False,
@@ -374,7 +393,7 @@ def reference_pair_attention(q, u, mask_f, keep, ws, *, Ak, H, dropout_rate, dty
         q.reshape(B * T * Aq, D),
         u.reshape(B * T * Aq * Ak, 4),
         mask_f.reshape(B * T * Aq, Ak),
-        None if keep is None else keep.reshape(B * T * Aq, Ak * H),
+        None if keep is None else keep.reshape(B * T * Aq * Ak, H),
         ws, Ak=Ak, H=H, dropout_rate=dropout_rate, dtype=dtype,
     )
     return out.reshape(B, T, Aq, D)

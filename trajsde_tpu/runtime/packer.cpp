@@ -67,6 +67,70 @@ void pack_scene_lanes(
   }
 }
 
-int packer_abi_version() { return 1; }
+// Whole-batch packer (v2 ABI): ONE call packs every scene, eliminating
+// the per-scene ctypes dispatch that made the v1 path lose to numpy
+// (round-1 honest bench: 27.6 vs 20.2 ms / 128-scene batch).  Source
+// pointers arrive as uint64 address arrays built in one numpy pass.
+void pack_batch(
+    int64_t n_scenes,
+    // per-scene source addresses (each points at a C-contiguous array)
+    const uint64_t* x, const uint64_t* y, const uint64_t* positions,
+    const uint64_t* padding, const uint64_t* bos, const uint64_t* angles,
+    const uint64_t* lane_positions, const uint64_t* lane_paddings,
+    const uint64_t* actor_order, const int64_t* n_actors,
+    const uint64_t* lane_order, const int64_t* n_lanes,
+    const int64_t* s_src, const uint8_t* has_y,
+    // batch destinations, [B, A|L, ...] row-major
+    float* dst_x, float* dst_y, float* dst_positions,
+    uint8_t* dst_padding, uint8_t* dst_bos, float* dst_angles,
+    uint8_t* dst_valid,
+    float* dst_lane_positions, uint8_t* dst_lane_paddings,
+    uint8_t* dst_lane_valid,
+    int64_t A, int64_t L, int64_t th, int64_t tf, int64_t s_dst) {
+  const int64_t t = th + tf;
+  for (int64_t b = 0; b < n_scenes; ++b) {
+    const float* sx = reinterpret_cast<const float*>(x[b]);
+    const float* sy = reinterpret_cast<const float*>(y[b]);
+    const float* spos = reinterpret_cast<const float*>(positions[b]);
+    const uint8_t* spad = reinterpret_cast<const uint8_t*>(padding[b]);
+    const uint8_t* sbos = reinterpret_cast<const uint8_t*>(bos[b]);
+    const float* sang = reinterpret_cast<const float*>(angles[b]);
+    const int32_t* aord = reinterpret_cast<const int32_t*>(actor_order[b]);
+    for (int64_t i = 0; i < n_actors[b]; ++i) {
+      const int64_t s = aord[i];
+      std::memcpy(dst_x + (b * A + i) * th * 2, sx + s * th * 2,
+                  sizeof(float) * th * 2);
+      if (has_y[b]) {
+        std::memcpy(dst_y + (b * A + i) * tf * 2, sy + s * tf * 2,
+                    sizeof(float) * tf * 2);
+      }
+      std::memcpy(dst_positions + (b * A + i) * t * 2, spos + s * t * 2,
+                  sizeof(float) * t * 2);
+      std::memcpy(dst_padding + (b * A + i) * t, spad + s * t, t);
+      std::memcpy(dst_bos + (b * A + i) * th, sbos + s * th, th);
+      dst_angles[b * A + i] = sang[s];
+      dst_valid[b * A + i] = 1;
+    }
+    const float* slp = reinterpret_cast<const float*>(lane_positions[b]);
+    const uint8_t* slpad = reinterpret_cast<const uint8_t*>(lane_paddings[b]);
+    const int32_t* lord = reinterpret_cast<const int32_t*>(lane_order[b]);
+    const int64_t ss = s_src[b];
+    const int64_t s_copy = ss < s_dst ? ss : s_dst;
+    for (int64_t i = 0; i < n_lanes[b]; ++i) {
+      const int64_t l = lord[i];
+      std::memcpy(dst_lane_positions + ((b * L + i) * s_dst) * 2,
+                  slp + l * ss * 2, sizeof(float) * s_copy * 2);
+      std::memcpy(dst_lane_paddings + (b * L + i) * s_dst, slpad + l * ss,
+                  s_copy);
+      bool any_pose = false;
+      for (int64_t k = 0; k < s_copy; ++k) {
+        if (!slpad[l * ss + k]) { any_pose = true; break; }
+      }
+      dst_lane_valid[b * L + i] = any_pose ? 1 : 0;
+    }
+  }
+}
+
+int packer_abi_version() { return 2; }
 
 }  // extern "C"
