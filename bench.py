@@ -75,7 +75,20 @@ def main() -> None:
             lambda a, b: a + jnp.sum(b), st.params, 0.0
         )
 
-    state, checksum = run_steps(state, scene)  # compile + warmup
+    # analytic FLOP count of ONE train step from its compiled executable
+    # (XLA cost analysis does not multiply loop trip counts, so the
+    # fori_loop wrapper must not be the lowering target) → MFU against the
+    # chip's peak (VERDICT r1 item 3)
+    cost = step.lower(state, scene).compile().cost_analysis() or {}
+    total_flops = float(cost.get("flops", float("nan"))) * ITERS
+    kind = jax.devices()[0].device_kind
+    peak = {
+        "TPU v5 lite": 394e12,   # v5e bf16 peak
+        "TPU v5": 459e12,        # v5p
+        "TPU v4": 275e12,
+    }.get(kind.rstrip("0123456789 "), None)
+
+    state, checksum = run_steps(state, scene)  # warmup (executable cached)
     assert np.isfinite(float(checksum))
     t0 = time.perf_counter()
     state, checksum = run_steps(state, scene)
@@ -83,6 +96,7 @@ def main() -> None:
     dt = time.perf_counter() - t0
 
     scenes_per_sec = BATCH * ITERS / dt
+    mfu = (total_flops / dt / peak) if (peak and np.isfinite(total_flops)) else None
     assert np.isfinite(checksum)
 
     if os.path.exists(BASELINE_PATH):
@@ -102,16 +116,17 @@ def main() -> None:
                 indent=2,
             )
 
-    print(
-        json.dumps(
-            {
-                "metric": "sde_train_scenes_per_sec",
-                "value": round(scenes_per_sec, 2),
-                "unit": "scenes/sec/chip",
-                "vs_baseline": round(scenes_per_sec / baseline, 3),
-            }
-        )
-    )
+    record = {
+        "metric": "sde_train_scenes_per_sec",
+        "value": round(scenes_per_sec, 2),
+        "unit": "scenes/sec/chip",
+        "vs_baseline": round(scenes_per_sec / baseline, 3),
+        "ms_per_step": round(dt / ITERS * 1000, 2),
+    }
+    if mfu is not None:
+        record["mfu"] = round(mfu, 4)
+        record["device"] = kind
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -197,6 +197,22 @@ class Trainer:
         )
         self.eval_step = make_eval_step(self.model, self.metrics, self.is_gtabs)
 
+    def _nfe_logs(self) -> Dict[str, float]:
+        """Static function-evaluation counts per forward — the fixed-grid
+        analog of the reference's fnfe/gnfe counters
+        (``enc_hivt_nusargo_sde_sep2.py:447,459-481``, its only built-in
+        instrumentation).  Under ``lax.scan`` the counts are compile-time
+        constants, so they are logged once instead of incremented."""
+        logs = {}
+        enc = getattr(self.model, "encoder", None)
+        if enc is not None and hasattr(enc, "minimum_step"):  # SDE encoder
+            logs["nfe/encoder_sde_steps"] = float(enc.historical_steps)
+            logs["nfe/encoder_g_evals"] = 2.0 * enc.historical_steps  # dual g
+        dec = getattr(self.model, "decoder", None)
+        if dec is not None and hasattr(dec, "max_fut_t"):  # SDE decoder
+            logs["nfe/decoder_sde_steps"] = float(dec.future_steps)
+        return logs
+
     def fit(
         self,
         state: TrainState,
@@ -207,6 +223,10 @@ class Trainer:
         # host-side step counter: reading ``state.step`` would force a
         # device sync every iteration
         step = int(state.step)
+        if self.logger is not None:
+            nfe = self._nfe_logs()
+            if nfe:
+                self.logger.log_scalars(step, nfe)
         for epoch in range(max_epochs):
             t0 = time.time()
             n_steps = 0
