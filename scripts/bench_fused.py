@@ -65,14 +65,17 @@ def run(fused: bool, batch: int, iters: int) -> float:
     return ms
 
 
-def run_encoder(fused: bool, batch: int, iters: int, rows_bwd: int = 24) -> None:
+def run_encoder(
+    fused: bool, batch: int, iters: int, rows_bwd: int = 24, rows_fwd: int = 64,
+    ln_mm: bool = False,
+) -> None:
     """Encoder-only fwd and fwd+bwd timings (isolates the AA stage swap)."""
     from __graft_entry__ import _scene
     from trajsde_tpu.models.sde_encoder import LocalEncoderSDESep
 
     enc = LocalEncoderSDESep(
         historical_steps=21, embed_dim=64, num_heads=8, dtype=jnp.bfloat16,
-        fused=fused, rows_bwd=rows_bwd,
+        fused=fused, rows_bwd=rows_bwd, rows_fwd=rows_fwd, ln_mm=ln_mm,
     )
     scene = jax.device_put(_scene(batch_size=batch, num_actors=32, num_lanes=64))
     params = enc.init({"params": jax.random.key(0), "sde": jax.random.key(1)}, scene)[
@@ -99,7 +102,11 @@ def run_encoder(fused: bool, batch: int, iters: int, rows_bwd: int = 24) -> None
         v = float(loop(params))
         dt = time.perf_counter() - t0
         assert np.isfinite(v)
-        print(f"  fused={fused} {tag}: {dt / iters * 1000:.2f} ms", flush=True)
+        print(
+            f"  fused={fused} rf={rows_fwd} rb={rows_bwd} lnmm={ln_mm} {tag}: "
+            f"{dt / iters * 1000:.2f} ms",
+            flush=True,
+        )
 
     def fwd_bwd(p, k):
         # checksum must consume the grads or XLA DCEs the whole backward
@@ -115,6 +122,8 @@ if __name__ == "__main__":
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--batch", type=int, default=128)
     p.add_argument("--rows-bwd", type=int, default=24)
+    p.add_argument("--rows-fwd", type=int, default=64)
+    p.add_argument("--ln-mm", action="store_true")
     p.add_argument(
         "--mode", choices=["both", "fused", "linen", "enc", "enc-fused", "enc-linen"],
         default="both",
@@ -127,6 +136,7 @@ if __name__ == "__main__":
     if args.mode in ("both", "linen"):
         run(False, args.batch, args.iters)
     if args.mode in ("enc", "enc-fused"):
-        run_encoder(True, args.batch, args.iters, args.rows_bwd)
+        run_encoder(True, args.batch, args.iters, args.rows_bwd, args.rows_fwd,
+                    args.ln_mm)
     if args.mode in ("enc", "enc-linen"):
-        run_encoder(False, args.batch, args.iters, args.rows_bwd)
+        run_encoder(False, args.batch, args.iters, args.rows_bwd, args.rows_fwd)

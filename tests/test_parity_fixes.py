@@ -19,11 +19,13 @@ from trajsde_tpu.train.metrics import TransferMetric
 # loud failure on unsupported config (reference ships adaptive: false and
 # the 'continuous' dataset mode as NotImplementedError)
 # ---------------------------------------------------------------------------
-def test_sde_encoder_rejects_adaptive(rng):
+def test_sde_encoder_rejects_unsupported(rng):
+    # adaptive: true is now a real capability (tests/test_adaptive.py and
+    # test_sde_encoder_adaptive below); milstein/adjoint still refuse loudly
     from trajsde_tpu.models.sde_encoder import LocalEncoderSDESep
 
     scene = make_scene_batch(rng, batch_size=1, num_actors=2, num_lanes=4)
-    for kwargs in ({"adaptive": True}, {"method": "milstein"}, {"adjoint": True}):
+    for kwargs in ({"method": "milstein"}, {"adjoint": True}):
         enc = LocalEncoderSDESep(historical_steps=21, embed_dim=8, **kwargs)
         with pytest.raises(NotImplementedError):
             jax.eval_shape(
@@ -32,6 +34,36 @@ def test_sde_encoder_rejects_adaptive(rng):
                 ),
                 scene,
             )
+
+
+def test_sde_encoder_adaptive(rng):
+    """adaptive: true runs bounded step-doubling inside each segment —
+    same parameter tree as fixed-grid, finite outputs and gradients."""
+    from trajsde_tpu.models.sde_encoder import LocalEncoderSDESep
+
+    scene = make_scene_batch(rng, batch_size=2, num_actors=3, num_lanes=6)
+    rngs = {"params": jax.random.key(0), "sde": jax.random.key(1)}
+    enc_fix = LocalEncoderSDESep(historical_steps=21, embed_dim=8, num_heads=2)
+    enc_ada = LocalEncoderSDESep(
+        historical_steps=21, embed_dim=8, num_heads=2, adaptive=True,
+        rtol=1e-2, atol=1e-2,
+    )
+    p_fix = enc_fix.init(rngs, scene)["params"]
+    p_ada = enc_ada.init(rngs, scene)["params"]
+    # identical parameter trees: checkpoints swap between solver modes
+    assert jax.tree_util.tree_structure(p_fix) == jax.tree_util.tree_structure(p_ada)
+
+    def loss(p):
+        out, diff_in, diff_out, _, _ = enc_ada.apply(
+            {"params": p}, scene, rngs={"sde": jax.random.key(2)}
+        )
+        return jnp.sum(out**2) + jnp.sum(diff_in) + jnp.sum(diff_out)
+
+    val, grads = jax.value_and_grad(loss)(p_ada)
+    assert np.isfinite(float(val))
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert all(np.all(np.isfinite(np.asarray(g))) for g in leaves)
+    assert any(float(jnp.max(jnp.abs(g))) > 0 for g in leaves)
 
 
 def test_sde_decoder_rejects_non_euler(rng):

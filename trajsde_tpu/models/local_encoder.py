@@ -117,6 +117,7 @@ class AAEncoder(nn.Module):
                              # op with its hand-rolled VJP (same params/math)
     rows_fwd: int = 64       # fused forward per-tile row budget (VMEM knob)
     rows_bwd: int = 24       # fused backward per-tile row budget
+    ln_mm: bool = False      # fused kernel: LN stats via MXU matmuls
 
     @nn.compact
     def __call__(
@@ -202,6 +203,7 @@ class AAEncoder(nn.Module):
             rows_fwd=self.rows_fwd, rows_bwd=self.rows_bwd,
             compute_dtype="bfloat16" if self.dtype == jnp.bfloat16 else "float32",
             interpret=jax.default_backend() != "tpu",
+            ln_mm=self.ln_mm,
         )
 
         # gated update + out_proj (node-wise, ``enc_hivt_nusargo_grid.py:196-212``)
@@ -338,6 +340,7 @@ class LocalEncoder(nn.Module):
     fused: bool = False    # Pallas fused AA pair chain (custom VJP)
     rows_fwd: int = 64     # fused forward per-tile row budget (VMEM knob)
     rows_bwd: int = 24     # fused backward per-tile row budget
+    ln_mm: bool = False    # fused kernel: LN stats via MXU matmuls
 
     @nn.compact
     def __call__(self, scene: SceneBatch, deterministic: bool = True) -> jax.Array:
@@ -359,6 +362,7 @@ class LocalEncoder(nn.Module):
             fused=self.fused,
             rows_fwd=self.rows_fwd,
             rows_bwd=self.rows_bwd,
+            ln_mm=self.ln_mm,
             name="aa_encoder",
         )(x_t, x_t, rot, scene.bos_mask, mask, edge_vec, deterministic)
 

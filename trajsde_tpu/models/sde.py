@@ -98,6 +98,14 @@ class SDEGRUStep(nn.Module):
     embed_dim: int
     sde_layers: int = 2
     dtype: Any = None
+    # adaptive step-doubling within each observation segment (the
+    # reference's ``adaptive: true`` branch, ``sdeint.py:349-381`` —
+    # broken there for the dual path; implemented here via the bounded
+    # differentiable controller in :func:`ops.sdeint.sdeint_adaptive`)
+    adaptive: bool = False
+    rtol: float = 1e-3
+    atol: float = 1e-3
+    adaptive_max_steps: int = 8
 
     @nn.compact
     def __call__(self, carry, xs):
@@ -105,13 +113,39 @@ class SDEGRUStep(nn.Module):
         obs, obs_mask, t0, dt = xs
         dt = dt.astype(h.dtype)
 
-        f = FFunc(self.embed_dim, self.sde_layers, dtype=self.dtype, name="f_func")(t0, h)
-        g_nus = GFunc(self.embed_dim, self.sde_layers, dtype=self.dtype, name="g_nus")(t0, h)
-        g_argo = GFunc(self.embed_dim, self.sde_layers, dtype=self.dtype, name="g_argo")(t0, h)
-        g = jnp.where(nus_mask[..., None], g_nus, g_argo)  # [..., 1]
+        f_mod = FFunc(self.embed_dim, self.sde_layers, dtype=self.dtype, name="f_func")
+        g_nus_mod = GFunc(self.embed_dim, self.sde_layers, dtype=self.dtype, name="g_nus")
+        g_argo_mod = GFunc(self.embed_dim, self.sde_layers, dtype=self.dtype, name="g_argo")
 
-        eps = jax.random.normal(self.make_rng("sde"), h.shape, h.dtype)
-        y1 = h + f * dt + g * (jnp.sqrt(dt) * eps)
+        def g_fn(t, y):
+            return jnp.where(
+                nus_mask[..., None], g_nus_mod(t, y), g_argo_mod(t, y)
+            )  # [..., 1]
+
+        if self.adaptive:
+            from trajsde_tpu.ops.sdeint import sdeint_adaptive
+
+            ts = jnp.stack([t0.astype(jnp.float32), (t0 + dt).astype(jnp.float32)])
+            ys_seg, _stats = sdeint_adaptive(
+                f_mod, g_fn, h, ts, self.make_rng("sde"),
+                dt0=dt / 2.0,
+                rtol=self.rtol,
+                atol=self.atol,
+                dt_min=dt / 64.0,
+                max_steps=self.adaptive_max_steps,
+                depth=8,
+                unroll=True,  # linen modules cannot run inside lax loops
+            )
+            y1 = ys_seg[-1].astype(h.dtype)
+            # diffusion tap at the segment END state (the fixed-grid path
+            # taps the start — the single Euler step's g; with multiple
+            # inner steps the end state is the defined tap point)
+            g = g_fn(t0 + dt, y1)
+        else:
+            f = f_mod(t0, h)
+            g = g_fn(t0, h)
+            eps = jax.random.normal(self.make_rng("sde"), h.shape, h.dtype)
+            y1 = h + f * dt + g * (jnp.sqrt(dt) * eps)
 
         h_next = GRUUnit(self.embed_dim, self.embed_dim, dtype=self.dtype, name="gru")(
             y1, obs, obs_mask

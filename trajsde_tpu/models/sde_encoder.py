@@ -109,17 +109,9 @@ class LocalEncoderSDESep(nn.Module):
     fused: bool = False  # Pallas fused AA pair chain (custom VJP)
     rows_fwd: int = 64   # fused forward per-tile row budget (VMEM knob)
     rows_bwd: int = 24   # fused backward per-tile row budget
+    ln_mm: bool = False  # fused kernel: LN stats via MXU matmuls
 
     def setup(self):
-        # the reference's adaptive+dual solver branch is broken anyway
-        # (``sdeint.py:354-358`` calls the 4-arg step) and its shipped
-        # configs set ``adaptive: false``; refuse rather than ignore
-        if self.adaptive:
-            raise NotImplementedError(
-                "adaptive SDE stepping is not supported (fixed-grid Euler only; "
-                "the reference's adaptive+dual branch is broken too, "
-                "sdeint.py:354-358)"
-            )
         if self.method != "euler":
             raise NotImplementedError(
                 f"SDE method {self.method!r} is not supported (euler only)"
@@ -142,18 +134,26 @@ class LocalEncoderSDESep(nn.Module):
             fused=self.fused,
             rows_fwd=self.rows_fwd,
             rows_bwd=self.rows_bwd,
+            ln_mm=self.ln_mm,
             name="aa_encoder",
         )
         self.al_encoder = al_cls(
             self.embed_dim, self.num_heads, self.dropout, dtype=self.dtype,
             name="al_encoder",
         )
+        # adaptive=True swaps the single Euler step per observation segment
+        # for bounded step-doubling integration (rtol/atol config knobs) —
+        # the reference's ``adaptive: true`` capability, which is broken in
+        # the reference itself for this dual path (``sdeint.py:354-358``)
         self.sde_rnn = scanned(
             SDEGRUStep,
             "sde_rnn",
             embed_dim=self.embed_dim,
             sde_layers=self.sde_layers,
             dtype=self.dtype,
+            adaptive=self.adaptive,
+            rtol=self.rtol,
+            atol=self.atol,
         )
         self.hidden = self.param("hidden", TOKEN_INIT, (self.embed_dim,))
 

@@ -62,6 +62,7 @@ class FusedCfg(NamedTuple):
     dropout_rate: float
     dtype: str
     interpret: bool
+    ln_mm: bool = False  # LN statistics via MXU ones-matmuls (VPU relief)
 
 
 def _relu(x):
@@ -89,8 +90,35 @@ def _ln_lean(x, scale, bias, out_dtype, eps=1e-5):
     return ((xc * inv) * scale + bias).astype(out_dtype)
 
 
+def _mean_mat(W: int, halves: bool) -> jax.Array:
+    """[W, W] averaging matrix: x @ M replicates per-row means across the
+    lane axis in ONE MXU pass (vs log-W cross-lane VPU shuffles).
+    ``halves=True`` builds the block-diagonal version normalizing each
+    W/2-half independently (the packed two-stream embedding layout)."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (W, W), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (W, W), 1)
+    if halves:
+        same = (r < W // 2) == (c < W // 2)
+        return same.astype(jnp.float32) * (2.0 / W)
+    return jnp.full((W, W), 1.0 / W, jnp.float32)
+
+
+def _ln_mm(x, scale, bias, out_dtype, mean_mat, stats_dtype, eps=1e-5):
+    """LayerNorm with matmul-computed statistics (MXU instead of VPU
+    reductions); ``mean_mat`` from :func:`_mean_mat`.  Statistics matmuls
+    run in ``stats_dtype`` (bf16 under mixed precision — same error class
+    as XLA's bf16 LN)."""
+    xm = x.astype(stats_dtype)
+    m = jnp.dot(xm, mean_mat.astype(stats_dtype), preferred_element_type=jnp.float32)
+    xc = x - m
+    xc2 = (xc * xc).astype(stats_dtype)
+    v = jnp.dot(xc2, mean_mat.astype(stats_dtype), preferred_element_type=jnp.float32)
+    inv = jax.lax.rsqrt(v + eps)
+    return ((xc * inv) * scale + bias).astype(out_dtype)
+
+
 def pair_chain(q, u, mask_f, keep, ws, *, Ak, H, dropout_rate, dtype,
-               use_repeat: bool = False):
+               use_repeat: bool = False, ln_mm: bool = False):
     """The full pair chain on one tile (pure jnp — shared by the forward
     kernel, the in-kernel VJP recompute, and the test reference).
 
@@ -117,12 +145,22 @@ def pair_chain(q, u, mask_f, keep, ws, *, Ak, H, dropout_rate, dtype,
     # first layer: K=4 would waste the 128-deep MXU — four outer products
     # on the VPU instead
     h = bu[0] + sum(u[:, k : k + 1] * wu[k : k + 1, :] for k in range(4))
-    h0 = _ln_lean(h[:, :D], ln0s[0, :D], ln0b[0, :D], cdt)
-    h1 = _ln_lean(h[:, D:], ln0s[0, D:], ln0b[0, D:], cdt)
-    a0 = _relu(jnp.concatenate([h0, h1], axis=-1))       # [P, 2D] cdt
-    z1 = mm(a0, w1, b1)                                  # [P, 2D] f32
-    a1 = _relu(_ln_lean(z1[:, :D] + z1[:, D:], lna0s[0], lna0b[0], cdt))
-    nbr = _ln_lean(mm(a1, wagg, bagg), lna1s[0], lna1b[0], cdt)
+    if ln_mm:
+        m2d = _mean_mat(2 * D, halves=True)
+        md = _mean_mat(D, halves=False)
+        a0 = _relu(_ln_mm(h, ln0s[0], ln0b[0], cdt, m2d, cdt))
+        z1 = mm(a0, w1, b1)                              # [P, 2D] f32
+        a1 = _relu(
+            _ln_mm(z1[:, :D] + z1[:, D:], lna0s[0], lna0b[0], cdt, md, cdt)
+        )
+        nbr = _ln_mm(mm(a1, wagg, bagg), lna1s[0], lna1b[0], cdt, md, cdt)
+    else:
+        h0 = _ln_lean(h[:, :D], ln0s[0, :D], ln0b[0, :D], cdt)
+        h1 = _ln_lean(h[:, D:], ln0s[0, D:], ln0b[0, D:], cdt)
+        a0 = _relu(jnp.concatenate([h0, h1], axis=-1))   # [P, 2D] cdt
+        z1 = mm(a0, w1, b1)                              # [P, 2D] f32
+        a1 = _relu(_ln_lean(z1[:, :D] + z1[:, D:], lna0s[0], lna0b[0], cdt))
+        nbr = _ln_lean(mm(a1, wagg, bagg), lna1s[0], lna1b[0], cdt)
     kv = mm(nbr, wkv, bkv)                               # [P, 2D] f32
 
     q_exp = jnp.broadcast_to(q[:, None, :], (R, Ak, D)).reshape(R * Ak, D)
@@ -161,7 +199,7 @@ def _fwd_kernel(q_ref, u_ref, mask_ref, *rest, cfg: FusedCfg, has_keep: bool):
     out_ref[0, 0] = pair_chain(
         q_ref[0, 0], u_ref[0, 0], mask_ref[0, 0], keep, ws,
         Ak=cfg.Ak, H=cfg.H, dropout_rate=cfg.dropout_rate, dtype=cfg.dtype,
-        use_repeat=not cfg.interpret,
+        use_repeat=not cfg.interpret, ln_mm=cfg.ln_mm,
     )
 
 
@@ -173,25 +211,31 @@ def _bwd_kernel(q_ref, u_ref, mask_ref, *rest, cfg: FusedCfg, has_keep: bool):
         keep = keep_ref[0, 0]
     else:
         keep = None
-    w_refs, (g_ref, dq_ref, du_ref), dw_refs = (
-        rest[:n_w], rest[n_w : n_w + 3], rest[n_w + 3 :]
+    w_refs, (g_ref, dq_ref), dw_refs = (
+        rest[:n_w], rest[n_w : n_w + 2], rest[n_w + 2 :]
     )
     ws = tuple(w[:] for w in w_refs)
     mask = mask_ref[0, 0]
+    u = u_ref[0, 0]
 
-    def f(q_, u_, *ws_):
+    # u (the rotated pair features) is a pure function of the SCENE — no
+    # parameter ever feeds it (build_pair_features consumes x_k/edge_vec/
+    # rot straight from SceneBatch), so its cotangent is never consumed.
+    # Closing over it keeps the K=4 first layer's transposed outer
+    # products (cross-lane reductions) out of the VJP entirely.
+    def f(q_, *ws_):
         return pair_chain(
-            q_, u_, mask, keep, ws_,
+            q_, u, mask, keep, ws_,
             Ak=cfg.Ak, H=cfg.H, dropout_rate=cfg.dropout_rate, dtype=cfg.dtype,
+            ln_mm=cfg.ln_mm,
         )
 
-    _, vjp_fn = jax.vjp(f, q_ref[0, 0], u_ref[0, 0], *ws)
+    _, vjp_fn = jax.vjp(f, q_ref[0, 0], *ws)
     grads = vjp_fn(g_ref[0, 0])
     dq_ref[0, 0] = grads[0]
-    du_ref[0, 0] = grads[1]
 
     first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
-    for ref, gval in zip(dw_refs, grads[2:]):
+    for ref, gval in zip(dw_refs, grads[1:]):
         gval32 = gval.astype(jnp.float32)
 
         @pl.when(first)
@@ -228,27 +272,48 @@ def _specs(rows, P, Ak, D, H, ws, has_keep):
 
 
 def _pick_rows(R_tot: int, target: int) -> int:
-    """Largest divisor of the flattened receiver-row axis ≤ ``target``."""
-    rows = min(target, R_tot)
-    while R_tot % rows:
-        rows -= 1
-    return rows
+    """Row-tile size: the target, shrunk only if it exceeds the (padded)
+    row count.  The row axis is zero-padded up to a multiple of the tile,
+    so MXU-friendly sizes (64/128/256) are always available even though
+    ``T·Aq`` (21·33 = 693 for the SDE encoder) has awkward divisors.
+    Zero-padding is exact: a padded row has ``mask == 0`` everywhere, so
+    its aggregate, input grads, and weight-grad contributions are all 0."""
+    return min(target, R_tot)
+
+
+def _pad_rows(x, R_tot: int, R_pad: int, axis: int = 1):
+    if R_pad == R_tot:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, R_pad - R_tot)
+    return jnp.pad(x, widths)
 
 
 def _row_tiles(cfg, q, u, mask_f, keep, rows):
-    """Flatten [B, T, Aq, ...] onto a chunked row axis [B, NC, rows, ...].
+    """Flatten [B, T, Aq, ...] onto a chunked row axis [B, NC, rows, ...],
+    zero-padding the flattened T·Aq axis to a multiple of ``rows``.
 
-    The chain is purely row-wise so the receiver axis can be tiled by ANY
-    divisor of T·Aq — grid iterations pipeline within one kernel launch.
+    The chain is purely row-wise so the receiver axis can be tiled freely —
+    grid iterations pipeline within one kernel launch.
     """
     B, T, Aq, D = q.shape
     Ak, H = cfg.Ak, cfg.H
-    NC = (T * Aq) // rows
+    R_tot = T * Aq
+    NC = -(-R_tot // rows)
+    R_pad = NC * rows
     P = rows * Ak
-    qt = q.reshape(B, NC, rows, D)
-    ut = u.reshape(B, NC, P, 4)
-    mt = mask_f.reshape(B, NC, rows, Ak)
-    kt = None if keep is None else keep.reshape(B, NC, P, H)
+    qt = _pad_rows(q.reshape(B, R_tot, D), R_tot, R_pad).reshape(B, NC, rows, D)
+    ut = _pad_rows(u.reshape(B, R_tot, Ak * 4), R_tot, R_pad).reshape(B, NC, P, 4)
+    mt = _pad_rows(mask_f.reshape(B, R_tot, Ak), R_tot, R_pad).reshape(
+        B, NC, rows, Ak
+    )
+    kt = (
+        None
+        if keep is None
+        else _pad_rows(keep.reshape(B, R_tot, Ak * H), R_tot, R_pad).reshape(
+            B, NC, P, H
+        )
+    )
     return NC, P, qt, ut, mt, kt
 
 
@@ -267,8 +332,13 @@ def _fwd_call(cfg: FusedCfg, q, u, mask_f, keep, ws):
         in_specs=in_specs,
         out_specs=blk(rows, D),
         interpret=cfg.interpret,
+        compiler_params=None if cfg.interpret else pltpu.CompilerParams(
+            # big row tiles (128+) need more than the conservative 16 MB
+            # default; v5e has 128 MB VMEM per core
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
     )(*args)
-    return out.reshape(B, T, Aq, D)
+    return out.reshape(B, NC * rows, D)[:, : T * Aq].reshape(B, T, Aq, D)
 
 
 def _bwd_call(cfg: FusedCfg, q, u, mask_f, keep, ws, g):
@@ -276,7 +346,9 @@ def _bwd_call(cfg: FusedCfg, q, u, mask_f, keep, ws, g):
     Ak, H = cfg.Ak, cfg.H
     rows = _pick_rows(T * Aq, cfg.rows_bwd)
     NC, P, qt, ut, mt, kt = _row_tiles(cfg, q, u, mask_f, keep, rows)
-    gt = g.reshape(B, NC, rows, D)
+    gt = _pad_rows(g.reshape(B, T * Aq, D), T * Aq, NC * rows).reshape(
+        B, NC, rows, D
+    )
 
     args = [qt, ut, mt] + ([kt] if kt is not None else []) + list(ws) + [gt]
     in_specs, blk, w_spec = _specs(rows, P, Ak, D, H, ws, kt is not None)
@@ -284,9 +356,8 @@ def _bwd_call(cfg: FusedCfg, q, u, mask_f, keep, ws, g):
 
     out_shapes = (
         jax.ShapeDtypeStruct((B, NC, rows, D), jnp.float32),   # dq
-        jax.ShapeDtypeStruct((B, NC, P, 4), jnp.float32),      # du
     ) + tuple(jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in ws)
-    out_specs = (blk(rows, D), blk(P, 4)) + tuple(w_spec(w) for w in ws)
+    out_specs = (blk(rows, D),) + tuple(w_spec(w) for w in ws)
 
     outs = pl.pallas_call(
         functools.partial(_bwd_kernel, cfg=cfg, has_keep=kt is not None),
@@ -295,11 +366,14 @@ def _bwd_call(cfg: FusedCfg, q, u, mask_f, keep, ws, g):
         in_specs=in_specs,
         out_specs=out_specs,
         interpret=cfg.interpret,
+        compiler_params=None if cfg.interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
     )(*args)
-    dq = outs[0].reshape(B, T, Aq, D)
-    du = outs[1].reshape(B, T, Aq, Ak, 4)
-    dws = tuple(d.astype(w.dtype) for d, w in zip(outs[2:], ws))
-    return dq, du, dws
+    R_tot = T * Aq
+    dq = outs[0].reshape(B, NC * rows, D)[:, :R_tot].reshape(B, T, Aq, D)
+    dws = tuple(d.astype(w.dtype) for d, w in zip(outs[1:], ws))
+    return dq, dws
 
 
 # ---------------------------------------------------------------------------
@@ -327,9 +401,11 @@ def _fused_fwd(cfg, q, u, mask_f, keep, ws):
 
 def _fused_bwd(cfg, res, g):
     q, u, mask_f, keep, ws = res
-    dq, du, dws = _bwd_call(cfg, q, u, mask_f, keep, ws, g)
+    dq, dws = _bwd_call(cfg, q, u, mask_f, keep, ws, g)
     dkeep = None if keep is None else jnp.zeros_like(keep)
-    return dq, du, jnp.zeros_like(mask_f), dkeep, dws
+    # u is scene-data-only (see _bwd_kernel): a zero cotangent is exact for
+    # every training path; XLA DCEs the zeros
+    return dq, jnp.zeros_like(u), jnp.zeros_like(mask_f), dkeep, dws
 
 
 fused_pair_attention.defvjp(_fused_fwd, _fused_bwd)
@@ -367,6 +443,7 @@ def fused_aa_aggregate(
     rows_bwd: int = 24,
     compute_dtype: str = "float32",
     interpret: bool = False,
+    ln_mm: bool = False,
 ) -> jax.Array:
     """Full fused AA propagate stage behind a simple signature."""
     B, T, Aq, D = q.shape
@@ -374,7 +451,7 @@ def fused_aa_aggregate(
     cfg = FusedCfg(
         Aq=Aq, Ak=Ak, D=D, H=num_heads, rows_fwd=rows_fwd, rows_bwd=rows_bwd,
         dropout_rate=float(dropout_rate), dtype=compute_dtype,
-        interpret=interpret,
+        interpret=interpret, ln_mm=ln_mm,
     )
     u = build_pair_features(
         x_k.astype(jnp.float32), edge_vec.astype(jnp.float32), rot.astype(jnp.float32)

@@ -50,11 +50,25 @@ def _uniform(shape):
 
 
 def _normal(shape):
-    """Standard normals via Box–Muller."""
-    u1 = _uniform(shape)
-    u2 = _uniform(shape)
+    """Standard normals via pair-output Box–Muller.
+
+    Both branches (r·cos, r·sin) of each (u1, u2) draw are used, so the
+    log/sqrt/cos/sin evaluations and PRNG draws run on HALF-row tiles —
+    transcendental cost on the VPU is per-vreg, so the half tiles must
+    stay full 128-lane width (split on the sublane axis, then stack).
+    """
+    R, D = shape
+    if R % 2:
+        u1 = _uniform(shape)
+        u2 = _uniform(shape)
+        r = jnp.sqrt(-2.0 * jnp.log(u1))
+        return r * jnp.cos(2.0 * jnp.pi * u2)
+    half = (R // 2, D)
+    u1 = _uniform(half)
+    u2 = _uniform(half)
     r = jnp.sqrt(-2.0 * jnp.log(u1))
-    return r * jnp.cos(2.0 * jnp.pi * u2)
+    a = 2.0 * jnp.pi * u2
+    return jnp.concatenate([r * jnp.cos(a), r * jnp.sin(a)], axis=0)
 
 
 def _rademacher(shape):

@@ -20,10 +20,12 @@ Semantics reproduced deliberately (SURVEY §2.5):
 """
 from __future__ import annotations
 
-from typing import Callable, Tuple
+from typing import Callable, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
+
+from trajsde_tpu.ops.brownian import BrownianTree
 
 
 def euler_maruyama(
@@ -105,6 +107,152 @@ def euler_maruyama_logqp(
 
     (_, kl), ys = jax.lax.scan(body, (y0, kl0), (steps, t0s, dts))
     return ys, kl
+
+
+def sdeint_adaptive(
+    f: Callable[[jax.Array, jax.Array], jax.Array],
+    g: Callable[[jax.Array, jax.Array], jax.Array],
+    y0: jax.Array,
+    ts: jax.Array,
+    key: jax.Array,
+    *,
+    dt0: float,
+    rtol: float = 1e-3,
+    atol: float = 1e-3,
+    dt_min: float = 1e-4,
+    max_steps: int = 128,
+    depth: int = 12,
+    safety: float = 0.9,
+    min_factor: float = 0.2,
+    max_factor: float = 1.4,
+    unroll: bool = False,
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """Adaptive Euler–Maruyama with step-doubling error control.
+
+    TPU-native analog of the reference's adaptive branch
+    (``models/utils/sdeint.py:349-381``: one full step vs two half steps,
+    rtol/atol-weighted RMS error, accept iff error ≤ 1 or the step floor is
+    hit, linear interpolation onto the output grid).  Differences forced by
+    the hardware/compilation model:
+
+    * the data-dependent ``while`` loop becomes a **bounded masked loop**
+      (``max_steps`` trip count, rejected/finished iterations are no-ops),
+      so the op stays reverse-differentiable (``lax.while_loop`` is not)
+      and compiles to a static schedule;
+    * the noise source is the counter-based :class:`BrownianTree` instead
+      of torchsde's stateful C++ ``BrownianInterval`` — path-consistent
+      across the full/half-step split, reproducible under sharding;
+    * the step controller is shared by the whole batch (the reference's
+      error is also a single scalar across the batch);
+    * the error estimate and controller state are ``stop_gradient``-ed,
+      matching the reference's ``torch.no_grad()`` block.
+
+    Returns:
+      ys: ``[T, ..., D]`` states interpolated at ``ts[1:]``.
+      stats: dict with ``n_accepted``, ``n_rejected``, ``final_dt`` and
+        ``converged`` (False ⇒ ``max_steps`` was exhausted before
+        ``ts[-1]``; outputs past the last reached time hold the final
+        state) — the NFE-style observability counters (SURVEY §5).
+    """
+    ts = jnp.asarray(ts, jnp.float32)
+    t_start, t_end = ts[0], ts[-1]
+    out_ts = ts[1:]
+    T = out_ts.shape[0]
+    tree = BrownianTree(key, ts[0], ts[-1], y0.shape, jnp.float32, depth=depth)
+    # step-doubling Euler is order-1 deterministically; PI controller in
+    # Söderlind form: factor = safety · err^{-(kI+kP)} · prev_err^{+kP}
+    # (the positive prev_err exponent is what damps oscillation — a small
+    # accepted error must not permanently inflate later factors)
+    k_i = 0.7 / 2.0
+    k_p = 0.4 / 2.0
+
+    def error_rms(y_full, y_half):
+        tol = atol + rtol * jnp.maximum(jnp.abs(y_full), jnp.abs(y_half))
+        e = (y_full - y_half) / tol
+        return jnp.sqrt(jnp.mean(e * e))
+
+    ys0 = jnp.broadcast_to(y0, (T,) + y0.shape).astype(jnp.float32)
+    carry0 = dict(
+        t=t_start,
+        y=y0.astype(jnp.float32),
+        dt=jnp.asarray(dt0, jnp.float32),
+        prev_err=jnp.asarray(1.0, jnp.float32),  # neutral PI memory
+        ys=ys0,
+        n_acc=jnp.zeros((), jnp.int32),
+        n_rej=jnp.zeros((), jnp.int32),
+    )
+
+    def body(_, c):
+        active = c["t"] < t_end
+        dt = jnp.maximum(c["dt"], dt_min)
+        t0, y = c["t"], c["y"]
+        t1 = jnp.minimum(t0 + dt, t_end)
+        tm = 0.5 * (t0 + t1)
+
+        f0, g0 = f(t0, y), g(t0, y)
+        # full step and first half step share (f0, g0) — Euler evaluates
+        # at the segment start
+        y_full = y + f0 * (t1 - t0) + g0 * tree.increment(t0, t1)
+        y_mid = y + f0 * (tm - t0) + g0 * tree.increment(t0, tm)
+        y_half = (
+            y_mid
+            + f(tm, y_mid) * (t1 - tm)
+            + g(tm, y_mid) * tree.increment(tm, t1)
+        )
+
+        err = jax.lax.stop_gradient(error_rms(y_full, y_half))
+        err = jnp.maximum(err, 1e-10)
+        factor = jnp.clip(
+            safety * err ** (-(k_i + k_p)) * c["prev_err"] ** k_p,
+            min_factor,
+            max_factor,
+        )
+        dt_new = jnp.maximum(dt * factor, dt_min)
+
+        accept = active & ((err <= 1.0) | (dt <= dt_min))
+        t_next = jnp.where(accept, t1, t0)
+        y_next = jnp.where(accept, y_half, y)
+
+        # write interpolated outputs for grid points crossed by this step
+        hit = accept & (out_ts > t0) & (out_ts <= t1)
+        w = jnp.where(t1 > t0, (out_ts - t0) / jnp.maximum(t1 - t0, 1e-12), 0.0)
+        interp = (
+            y[None] * (1.0 - w).reshape((T,) + (1,) * y.ndim)
+            + y_half[None] * w.reshape((T,) + (1,) * y.ndim)
+        )
+        ys = jnp.where(hit.reshape((T,) + (1,) * y.ndim), interp, c["ys"])
+
+        return dict(
+            t=t_next,
+            y=y_next,
+            dt=jnp.where(active, dt_new, c["dt"]),
+            prev_err=jnp.where(accept, err, c["prev_err"]),
+            ys=ys,
+            n_acc=c["n_acc"] + accept.astype(jnp.int32),
+            n_rej=c["n_rej"] + (active & ~accept).astype(jnp.int32),
+        )
+
+    if unroll:
+        # static Python unroll: required when f/g are flax module calls
+        # (linen cannot create/reference params inside lax control flow);
+        # masked no-op iterations keep the semantics identical
+        c = carry0
+        for i in range(max_steps):
+            c = body(i, c)
+    else:
+        c = jax.lax.fori_loop(0, max_steps, body, carry0)
+    # grid points never reached (max_steps exhausted) hold the final state
+    unreached = out_ts > c["t"]
+    ys = jnp.where(
+        unreached.reshape((T,) + (1,) * y0.ndim), c["y"][None], c["ys"]
+    )
+    stats = dict(
+        n_accepted=c["n_acc"],
+        n_rejected=c["n_rej"],
+        final_dt=c["dt"],
+        converged=c["t"] >= t_end,
+    )
+    return ys, stats
 
 
 def ou_moments(y0: jax.Array, theta: float, mu: float, sigma: float, t: jax.Array):
