@@ -23,12 +23,13 @@ except Exception:
     pass
 
 
-def run(fused: bool, batch: int, iters: int) -> float:
+def run(fused: bool, batch: int, iters: int, fused_decoder: bool = False) -> float:
     from __graft_entry__ import _build_flagship, _scene
     from trajsde_tpu.losses import diff_bce_loss, l2_loss
     from trajsde_tpu.train.loop import create_train_state, make_train_step
 
-    model = _build_flagship(dtype=jnp.bfloat16, fused=fused)
+    model = _build_flagship(dtype=jnp.bfloat16, fused=fused,
+                            fused_decoder=fused_decoder)
     scene = jax.device_put(_scene(batch_size=batch, num_actors=32, num_lanes=64))
     optimizer = optax.adamw(1e-3, weight_decay=7e-4)
     state = create_train_state(model, optimizer, scene)
@@ -58,7 +59,8 @@ def run(fused: bool, batch: int, iters: int) -> float:
     assert np.isfinite(checksum), checksum
     ms = dt / iters * 1000
     print(
-        f"fused={fused} batch={batch}: {ms:.1f} ms/step, "
+        f"fused={fused} fused_dec={fused_decoder} batch={batch}: "
+        f"{ms:.1f} ms/step, "
         f"{batch * iters / dt:.0f} scenes/s (compile+warm {compile_s:.0f}s)",
         flush=True,
     )
@@ -125,7 +127,9 @@ if __name__ == "__main__":
     p.add_argument("--rows-fwd", type=int, default=64)
     p.add_argument("--ln-mm", action="store_true")
     p.add_argument(
-        "--mode", choices=["both", "fused", "linen", "enc", "enc-fused", "enc-linen"],
+        "--mode",
+        choices=["both", "fused", "linen", "enc", "enc-fused", "enc-linen",
+                 "dec-fused", "all-fused"],
         default="both",
     )
     args = p.parse_args()
@@ -135,6 +139,10 @@ if __name__ == "__main__":
         run(True, args.batch, args.iters)
     if args.mode in ("both", "linen"):
         run(False, args.batch, args.iters)
+    if args.mode == "dec-fused":  # fused rollout, linen encoder
+        run(False, args.batch, args.iters, fused_decoder=True)
+    if args.mode == "all-fused":
+        run(True, args.batch, args.iters, fused_decoder=True)
     if args.mode in ("enc", "enc-fused"):
         run_encoder(True, args.batch, args.iters, args.rows_bwd, args.rows_fwd,
                     args.ln_mm)

@@ -18,6 +18,63 @@ from trajsde_tpu.models.layers import LN_EPS, XAVIER
 from trajsde_tpu.models.sde import SDEStep, decoder_time_grid, scanned
 
 
+class _ParamDense(nn.Module):
+    """Declares a Dense layer's params without applying it (fused path —
+    the tree matches the scanned ``SDEStep`` scopes exactly, so checkpoints
+    interchange between the scan and kernel rollout engines)."""
+
+    in_features: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        return {
+            "kernel": self.param("kernel", XAVIER, (self.in_features, self.features)),
+            "bias": self.param("bias", nn.initializers.zeros, (self.features,)),
+        }
+
+
+class _FFuncParams(nn.Module):
+    embed_dim: int
+    num_layers: int = 2
+
+    @nn.compact
+    def __call__(self):
+        D = self.embed_dim
+        out = {"dense0": _ParamDense(D + 2, D, name="dense0")()}
+        for i in range(self.num_layers):
+            out[f"dense{i + 1}"] = _ParamDense(D, D, name=f"dense{i + 1}")()
+        return out
+
+
+class _GFuncParams(nn.Module):
+    embed_dim: int
+    num_layers: int = 2
+
+    @nn.compact
+    def __call__(self):
+        D = self.embed_dim
+        out = {"dense0": _ParamDense(D + 2, D, name="dense0")()}
+        for i in range(self.num_layers - 1):
+            out[f"dense{i + 1}"] = _ParamDense(D, D, name=f"dense{i + 1}")()
+        out["dense_out"] = _ParamDense(D, 1, name="dense_out")()
+        return out
+
+
+class _SDEStepParams(nn.Module):
+    """Param bank mirroring ``scanned(SDEStep)``'s tree."""
+
+    embed_dim: int
+    sde_layers: int = 2
+
+    @nn.compact
+    def __call__(self):
+        return {
+            "f_func": _FFuncParams(self.embed_dim, self.sde_layers, name="f_func")(),
+            "g_func": _GFuncParams(self.embed_dim, self.sde_layers, name="g_func")(),
+        }
+
+
 def _mlp_head(dims, name_prefix=None, dtype=None):
     """Dense→LN→ReLU stacks with a final plain Dense (reference head shape).
 
@@ -118,6 +175,9 @@ class SDEDecoder(nn.Module):
     rtol: float = 1e-3
     atol: float = 1e-3
     dtype: Any = None
+    fused: bool = False       # Pallas VMEM-resident rollout (fwd + custom VJP)
+    rollout_rows: int = 1024  # fused rollout row-tile size
+    rollout_unroll: int = 6   # fused rollout steps per grid iteration
 
     def setup(self):
         if self.method != "euler":
@@ -127,9 +187,16 @@ class SDEDecoder(nn.Module):
         D = self.local_channels
         self.aggr_dense = nn.Dense(D, kernel_init=XAVIER, dtype=self.dtype)
         self.aggr_ln = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype)
-        self.sde_rollout = scanned(
-            SDEStep, None, embed_dim=D, sde_layers=self.sde_layers, dtype=self.dtype
-        )
+        if self.fused:
+            # identical parameter tree to the scanned module (same scope name)
+            self.sde_rollout_params = _SDEStepParams(
+                D, self.sde_layers, name="sde_rollout"
+            )
+        else:
+            self.sde_rollout = scanned(
+                SDEStep, None, embed_dim=D, sde_layers=self.sde_layers,
+                dtype=self.dtype,
+            )
         self.loc_layers = _mlp_head([D, 2], dtype=self.dtype)
         self.pi_layers = _mlp_head([D, 1], dtype=self.dtype)
         if self.uncertain:
@@ -183,6 +250,37 @@ class SDEDecoder(nn.Module):
     ) -> Dict[str, jax.Array]:
         y0 = self.fuse(scene, local_embed, global_embed)
         t0s, dts = self.time_grid()
-        _, ys = self.sde_rollout(y0, (t0s, dts))           # [Tf, B, F, A, D]
+        if self.fused:
+            ys = self._fused_rollout(y0, t0s, dts)         # [Tf, B, F, A, D]
+        else:
+            _, ys = self.sde_rollout(y0, (t0s, dts))       # [Tf, B, F, A, D]
         sol = jnp.transpose(ys, (1, 2, 3, 0, 4))           # [B, F, A, Tf, D]
         return self.decode(scene, sol, local_embed, global_embed)
+
+    def _fused_rollout(self, y0: jax.Array, t0s, dts) -> jax.Array:
+        """Training rollout through the Pallas kernel (custom VJP): the
+        whole 60-step chain stays VMEM-resident both ways — no per-step MLP
+        residuals in HBM.  Same parameters as the scan path; the Brownian
+        stream differs (on-core per-(tile, step) PRNG vs per-step fold_in),
+        which is immaterial — both are exact Euler–Maruyama draws."""
+        from trajsde_tpu.ops.pallas.sde_rollout import (
+            rollout_params_from_linen, sde_rollout_train,
+        )
+
+        Tf = self.future_steps
+        B, F, A, D = y0.shape
+        kp = rollout_params_from_linen(self.sde_rollout_params())
+        key = self.make_rng("sde")
+        interpret = jax.default_backend() != "tpu"
+        if interpret:  # CPU interpreter lacks the on-core PRNG primitives
+            seed = jnp.int32(0)
+            noise = jax.random.normal(key, (Tf, B * F * A, D), jnp.float32)
+        else:
+            seed = jax.random.randint(key, (), 0, jnp.iinfo(jnp.int32).max)
+            noise = None
+        ys = sde_rollout_train(
+            y0.reshape(-1, D).astype(jnp.float32), kp, t0s, dts, seed,
+            num_steps=Tf, block_rows=self.rollout_rows, interpret=interpret,
+            noise=noise, unroll=self.rollout_unroll,
+        )
+        return ys.reshape(Tf, B, F, A, D).astype(y0.dtype)

@@ -79,13 +79,48 @@ def _rademacher(shape):
     return jnp.where((bits & 1) == 0, -1.0, 1.0).astype(jnp.float32)
 
 
+W_ROLLOUT_ORDER = (
+    "wf0", "wf0t", "bf0", "wf1", "bf1", "wf2", "bf2",
+    "wg0", "wg0t", "bg0", "wg1", "bg1", "wgo", "bgo",
+)
+
+
+def _euler_step(y, s, c, dt, sqrt_dt, z, ws):
+    """One Euler–Maruyama step (pure jnp — shared by the forward kernel,
+    the backward kernel's in-kernel ``jax.vjp``, and the test reference).
+
+    drift MLP: dense0 (+ time-feature rank-1 terms) → tanh → dense1 → tanh
+    → dense2; diffusion MLP → scalar sigmoid (``dec_hivt_nusargo_sde.py``).
+    """
+    (wf0, wf0t, bf0, wf1, bf1, wf2, bf2,
+     wg0, wg0t, bg0, wg1, bg1, wgo, bgo) = ws
+    tf = s * wf0t[0, :] + c * wf0t[1, :]
+    h = jnp.dot(y, wf0, preferred_element_type=jnp.float32)
+    h = jnp.tanh(h + tf + bf0[0, :])
+    h = jnp.dot(h, wf1, preferred_element_type=jnp.float32)
+    h = jnp.tanh(h + bf1[0, :])
+    f = jnp.dot(h, wf2, preferred_element_type=jnp.float32) + bf2[0, :]
+
+    tg = s * wg0t[0, :] + c * wg0t[1, :]
+    hg = jnp.dot(y, wg0, preferred_element_type=jnp.float32)
+    hg = jnp.tanh(hg + tg + bg0[0, :])
+    hg = jnp.dot(hg, wg1, preferred_element_type=jnp.float32)
+    hg = jnp.tanh(hg + bg1[0, :])
+    g = jax.nn.sigmoid(
+        jnp.dot(hg, wgo, preferred_element_type=jnp.float32) + bgo[0, :]
+    )  # [R, 1]
+    return y + f * dt + g * (sqrt_dt * z)
+
+
+def _draw(shape, increments: str):
+    return _normal(shape) if increments == "gaussian" else _rademacher(shape)
+
+
 def _rollout_kernel(
     # scalar-prefetch
     seed_ref,
     # inputs
     y0_ref, sin_ref, cos_ref, t_dt_ref,
-    wf0_ref, wf0t_ref, bf0_ref, wf1_ref, bf1_ref, wf2_ref, bf2_ref,
-    wg0_ref, wg0t_ref, bg0_ref, wg1_ref, bg1_ref, wgo_ref, bgo_ref,
     *refs,
     num_steps: int,
     unroll: int,
@@ -99,55 +134,253 @@ def _rollout_kernel(
     block regardless of trajectory length, so tiles can be MXU-sized while
     grid overhead stays at (tiles × steps/unroll) iterations.
     Weight blocks are grid-invariant (fetched once).
+
+    The PRNG is re-seeded per (tile, step) — random access, so the custom
+    VJP can regenerate the exact increments during the backward sweep
+    without materializing them in HBM.
     """
+    n_w = len(W_ROLLOUT_ORDER)
+    w_refs = refs[:n_w]
+    refs = refs[n_w:]
     if use_prng:
         out_ref, y_ref = refs
     else:
         noise_ref, out_ref, y_ref = refs
     tb = pl.program_id(1)
+    ws = tuple(w[:] for w in w_refs)
 
     @pl.when(tb == 0)
     def _():
         y_ref[:] = y0_ref[:]
-        if use_prng:
-            # one stream per row tile; core PRNG state persists across the
-            # sequential step-block iterations
-            pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
 
     y = y_ref[:]
     for k in range(unroll):
         t = tb * unroll + k
+        if use_prng:
+            pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * num_steps + t)
+            z = _draw(y.shape, increments)
+        else:
+            z = noise_ref[k, :, :]
+        y = _euler_step(
+            y, sin_ref[t, 0], cos_ref[t, 0], t_dt_ref[t, 0], t_dt_ref[t, 1], z, ws
+        )
+        out_ref[k, :, :] = y
+    y_ref[:] = y
+
+
+def _rollout_bwd_kernel(
+    # scalar-prefetch
+    seed_ref,
+    # inputs
+    yprev_ref, ct_ref, sin_ref, cos_ref, t_dt_ref,
+    *refs,
+    num_steps: int,
+    unroll: int,
+    use_prng: bool,
+    increments: str,
+    n_blocks: int,
+):
+    """Reverse sweep: grid = (row tiles, step blocks BACKWARD).
+
+    Carry λ (the cotangent of the running state) lives in a VMEM scratch;
+    each iteration replays ``unroll`` steps of the forward chain via
+    ``jax.vjp`` — the pre-step states come from the forward's own outputs
+    (``yprev[t] = y_t``) and the Brownian increments are regenerated from
+    the per-(tile, step) PRNG seeding, so NO residual beyond the states
+    the forward already emits ever touches HBM.
+    """
+    n_w = len(W_ROLLOUT_ORDER)
+    w_refs = refs[:n_w]
+    refs = refs[n_w:]
+    if use_prng:
+        (dy0_ref, *dw_refs), lam_ref = refs[:-1], refs[-1]
+    else:
+        noise_ref = refs[0]
+        (dy0_ref, *dw_refs), lam_ref = refs[1:-1], refs[-1]
+    ws = tuple(w[:] for w in w_refs)
+    tb = pl.program_id(1)
+    first = (pl.program_id(0) == 0) & (tb == 0)
+
+    @pl.when(tb == 0)
+    def _():
+        lam_ref[:] = jnp.zeros(lam_ref.shape, lam_ref.dtype)
+
+    @pl.when(first)
+    def _():
+        for ref in dw_refs:
+            ref[...] = jnp.zeros(ref.shape, ref.dtype)
+
+    lam = lam_ref[:]
+    rb = n_blocks - 1 - tb  # forward step-block replayed by this iteration
+    for k in range(unroll - 1, -1, -1):
+        t = rb * unroll + k
+        if use_prng:
+            pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * num_steps + t)
+            z = _draw(lam.shape, increments)
+        else:
+            z = noise_ref[k, :, :]
+        y_t = yprev_ref[k, :, :]
         s = sin_ref[t, 0]
         c = cos_ref[t, 0]
         dt = t_dt_ref[t, 0]
         sqrt_dt = t_dt_ref[t, 1]
 
-        # drift MLP: dense0 (+ time-feature rank-1 terms) → tanh → dense1
-        # → tanh → dense2
-        tf = s * wf0t_ref[0, :] + c * wf0t_ref[1, :]
-        h = jnp.dot(y, wf0_ref[:], preferred_element_type=jnp.float32)
-        h = jnp.tanh(h + tf + bf0_ref[0, :])
-        h = jnp.dot(h, wf1_ref[:], preferred_element_type=jnp.float32)
-        h = jnp.tanh(h + bf1_ref[0, :])
-        f = jnp.dot(h, wf2_ref[:], preferred_element_type=jnp.float32) + bf2_ref[0, :]
+        lam = lam + ct_ref[k, :, :]  # cotangent injected at out[t] = y_{t+1}
 
-        # diffusion MLP → scalar sigmoid
-        tg = s * wg0t_ref[0, :] + c * wg0t_ref[1, :]
-        hg = jnp.dot(y, wg0_ref[:], preferred_element_type=jnp.float32)
-        hg = jnp.tanh(hg + tg + bg0_ref[0, :])
-        hg = jnp.dot(hg, wg1_ref[:], preferred_element_type=jnp.float32)
-        hg = jnp.tanh(hg + bg1_ref[0, :])
-        g = jax.nn.sigmoid(
-            jnp.dot(hg, wgo_ref[:], preferred_element_type=jnp.float32) + bgo_ref[0, :]
-        )  # [R, 1]
+        def step_fn(y_, *ws_):
+            return _euler_step(y_, s, c, dt, sqrt_dt, z, ws_)
 
-        if use_prng:
-            z = _normal(y.shape) if increments == "gaussian" else _rademacher(y.shape)
-        else:
-            z = noise_ref[k, :, :]
-        y = y + f * dt + g * (sqrt_dt * z)
-        out_ref[k, :, :] = y
-    y_ref[:] = y
+        _, vjp_fn = jax.vjp(step_fn, y_t, *ws)
+        grads = vjp_fn(lam)
+        lam = grads[0]
+        for ref, gval in zip(dw_refs, grads[1:]):
+            ref[...] = ref[...] + gval.astype(jnp.float32)
+
+    lam_ref[:] = lam
+
+    @pl.when(tb == n_blocks - 1)
+    def _():
+        dy0_ref[:] = lam_ref[:]
+
+
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4)
+)
+def _rollout_train(num_steps, block_rows, unroll, interpret, increments,
+                   y0, ws, t0s, dts, seed, noise):
+    return _rollout_fwd_call(
+        num_steps, block_rows, unroll, interpret, increments,
+        y0, ws, t0s, dts, seed, noise,
+    )
+
+
+def _rollout_train_fwd(num_steps, block_rows, unroll, interpret, increments,
+                       y0, ws, t0s, dts, seed, noise):
+    ys = _rollout_train(
+        num_steps, block_rows, unroll, interpret, increments,
+        y0, ws, t0s, dts, seed, noise,
+    )
+    return ys, (y0, ws, t0s, dts, seed, noise, ys)
+
+
+def _rollout_train_bwd(num_steps, block_rows, unroll, interpret, increments,
+                       res, ct):
+    y0, ws, t0s, dts, seed, noise, ys = res
+    N, D = y0.shape
+    R = min(block_rows, N)
+    pad = (-N) % R
+    # pre-step states: yprev[t] = y_t (zero-padded rows carry zero λ)
+    yprev = jnp.concatenate([y0[None], ys[:-1]], axis=0)
+    if pad:
+        zcols = jnp.zeros((num_steps, pad, D), jnp.float32)
+        yprev = jnp.concatenate([yprev, zcols], axis=1)
+        ct = jnp.concatenate([ct.astype(jnp.float32), zcols], axis=1)
+        if noise is not None:
+            noise = jnp.concatenate([noise.astype(jnp.float32), zcols], axis=1)
+    else:
+        ct = ct.astype(jnp.float32)
+    Np = yprev.shape[1]
+    u = unroll
+    while num_steps % u:
+        u -= 1
+    n_blocks = num_steps // u
+    use_prng = noise is None
+
+    sin_t = jnp.sin(t0s)[:, None].astype(jnp.float32)
+    cos_t = jnp.cos(t0s)[:, None].astype(jnp.float32)
+    t_dt = jnp.stack([dts, jnp.sqrt(dts)], axis=-1).astype(jnp.float32)
+
+    def w_spec(arr):
+        return pl.BlockSpec(
+            arr.shape, lambda i, t, s, _n=arr.ndim: (0,) * _n,
+            memory_space=pltpu.VMEM,
+        )
+
+    rev_blk = pl.BlockSpec(
+        (u, R, D), lambda i, t, s, _nb=n_blocks: (_nb - 1 - t, i, 0),
+        memory_space=pltpu.VMEM,
+    )
+    in_specs = [rev_blk, rev_blk, w_spec(sin_t), w_spec(cos_t), w_spec(t_dt)]
+    in_specs += [w_spec(w) for w in ws]
+    inputs = [yprev, ct, sin_t, cos_t, t_dt, *ws]
+    if not use_prng:
+        in_specs.append(rev_blk)
+        inputs.append(noise)
+
+    out_shapes = (
+        jax.ShapeDtypeStruct((Np, D), jnp.float32),  # dy0
+    ) + tuple(jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in ws)
+    out_specs = (
+        pl.BlockSpec((R, D), lambda i, t, s: (i, 0), memory_space=pltpu.VMEM),
+    ) + tuple(w_spec(w) for w in ws)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(Np // R, n_blocks),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=[pltpu.VMEM((R, D), jnp.float32)],
+    )
+    outs = pl.pallas_call(
+        functools.partial(
+            _rollout_bwd_kernel,
+            num_steps=num_steps, unroll=u, use_prng=use_prng,
+            increments=increments, n_blocks=n_blocks,
+        ),
+        out_shape=out_shapes,
+        grid_spec=grid_spec,
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(jnp.atleast_1d(seed).astype(jnp.int32), *inputs)
+
+    dy0 = outs[0][:N].astype(y0.dtype)
+    dws = tuple(d.astype(w.dtype) for d, w in zip(outs[1:], ws))
+    dseed = np.zeros((), jax.dtypes.float0)
+    dnoise = None if noise is None else jnp.zeros_like(noise)
+    return (dy0, dws, jnp.zeros_like(t0s), jnp.zeros_like(dts), dseed, dnoise)
+
+
+_rollout_train.defvjp(_rollout_train_fwd, _rollout_train_bwd)
+
+
+def sde_rollout_train(
+    y0: jax.Array,
+    params: Dict[str, jax.Array],
+    t0s: jax.Array,
+    dts: jax.Array,
+    seed: jax.Array,
+    num_steps: int,
+    block_rows: int = 1024,
+    interpret: bool = False,
+    noise: jax.Array = None,
+    unroll: int = 6,
+    increments: str = "gaussian",
+) -> jax.Array:
+    """Differentiable fused rollout: forward as :func:`sde_rollout`, backward
+    as a second VMEM-resident kernel (reverse sweep, λ carry in scratch,
+    increments regenerated from the per-(tile, step) PRNG seeding).
+
+    The XLA ``lax.scan`` path materializes ~6 per-step MLP residuals in HBM
+    and reads them back in the backward; here the only HBM traffic beyond
+    the forward's own outputs is one read of (states, cotangents) per step.
+    """
+    ws = tuple(params[k] for k in W_ROLLOUT_ORDER)
+    return _rollout_train(
+        num_steps, block_rows, unroll, interpret, increments,
+        y0, ws, t0s, dts, seed, noise,
+    )
+
+
+def _rollout_fwd_call(num_steps, block_rows, unroll, interpret, increments,
+                      y0, ws, t0s, dts, seed, noise):
+    params = dict(zip(W_ROLLOUT_ORDER, ws))
+    return sde_rollout(
+        y0, params, t0s, dts, seed, num_steps=num_steps,
+        block_rows=block_rows, interpret=interpret, noise=noise,
+        unroll=unroll, increments=increments,
+    )
 
 
 def rollout_params_from_linen(step_params: Dict) -> Dict[str, jax.Array]:
