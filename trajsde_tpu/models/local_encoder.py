@@ -116,8 +116,8 @@ class AAEncoder(nn.Module):
     fused: bool = False      # route the pair chain through the Pallas fused
                              # op with its hand-rolled VJP (same params/math)
     rows_fwd: int = 64       # fused forward per-tile row budget (VMEM knob)
-    rows_bwd: int = 24       # fused backward per-tile row budget
-    ln_mm: bool = False      # fused kernel: LN stats via MXU matmuls
+    rows_bwd: int = 32       # fused backward per-tile row budget
+    ln_mm: bool = True       # fused kernel: LN stats via MXU matmuls
 
     @nn.compact
     def __call__(
@@ -339,8 +339,8 @@ class LocalEncoder(nn.Module):
     dtype: Any = None      # compute dtype (bfloat16 for mixed precision); params stay f32
     fused: bool = False    # Pallas fused AA pair chain (custom VJP)
     rows_fwd: int = 64     # fused forward per-tile row budget (VMEM knob)
-    rows_bwd: int = 24     # fused backward per-tile row budget
-    ln_mm: bool = False    # fused kernel: LN stats via MXU matmuls
+    rows_bwd: int = 32     # fused backward per-tile row budget
+    ln_mm: bool = True     # fused kernel: LN stats via MXU matmuls
 
     @nn.compact
     def __call__(self, scene: SceneBatch, deterministic: bool = True) -> jax.Array:

@@ -108,8 +108,8 @@ class LocalEncoderSDESep(nn.Module):
     dtype: Any = None    # compute dtype (bfloat16 mixed precision); params stay f32
     fused: bool = False  # Pallas fused AA pair chain (custom VJP)
     rows_fwd: int = 64   # fused forward per-tile row budget (VMEM knob)
-    rows_bwd: int = 24   # fused backward per-tile row budget
-    ln_mm: bool = False  # fused kernel: LN stats via MXU matmuls
+    rows_bwd: int = 32   # fused backward per-tile row budget
+    ln_mm: bool = True   # fused kernel: LN stats via MXU matmuls
 
     def setup(self):
         if self.method != "euler":
