@@ -424,3 +424,146 @@ def test_sde_encoder_full_oracle(rng):
     want = final + mlp_block(ln(final, alp["norm2"]), alp["mlp"])
 
     np.testing.assert_allclose(out, want, rtol=3e-4, atol=3e-5)
+
+
+# ---------------------------------------------------------------------------
+# 6. GlobalInteractor oracle (``agg_hivt.py:38-140``)
+# ---------------------------------------------------------------------------
+def global_layer_numpy(p, x, edges, rel, num_heads):
+    """One GlobalInteractorLayer over a ragged edge list.
+
+    ``edges`` — list of (i, j, rel_embed_row) with j→i flow; the reference
+    projects the NORMED x for q, k AND the update gate (propagate is
+    called with x = norm1(x), ``agg_hivt.py:99,131-134``)."""
+    A, D = x.shape
+    hd = D // num_heads
+    normed = ln(x, p["norm1"])
+    msg = np.zeros_like(x)
+    for i in range(A):
+        inc = [(j, r) for (ii, j, r) in edges if ii == i]
+        if inc:
+            q = dense(normed[i], p["attn"]["lin_q"]).reshape(num_heads, hd)
+            ks, vs = [], []
+            for j, r in inc:
+                ks.append(dense(normed[j], p["attn"]["lin_k"])
+                          + dense(r, p["attn"]["lin_k_edge"]))
+                vs.append(dense(normed[j], p["attn"]["lin_v"])
+                          + dense(r, p["attn"]["lin_v_edge"]))
+            k = np.stack(ks).reshape(-1, num_heads, hd)
+            v = np.stack(vs).reshape(-1, num_heads, hd)
+            alpha = (q[None] * k).sum(-1) / hd ** 0.5
+            alpha = np.exp(alpha - alpha.max(0, keepdims=True))
+            alpha = alpha / alpha.sum(0, keepdims=True)
+            agg = (alpha[..., None] * v).sum(0).reshape(D)
+        else:
+            agg = np.zeros(D, np.float32)
+        gate = sigmoid(dense(agg, p["attn"]["lin_ih"])
+                       + dense(normed[i], p["attn"]["lin_hh"]))
+        upd = agg + gate * (dense(normed[i], p["attn"]["lin_self"]) - agg)
+        msg[i] = dense(upd, p["attn"]["out_proj"])
+    x = x + msg
+    return x + mlp_block(ln(x, p["norm2"]), p["mlp"])
+
+
+def test_global_interactor_oracle(rng):
+    """Full aggregator: rel embedding (receiver-frame rel_pos + Δθ
+    features), 3 edge-aware layers, final norm + multihead_proj → modes
+    (``agg_hivt.py:38-58,94-140``)."""
+    from trajsde_tpu.models.aggregator import GlobalInteractor
+
+    A, Th, D, H, F = 4, 5, 16, 4, 3
+    scene = _tiny_scene(rng, A=A, Th=Th)
+    local = rng.normal(size=(1, A, D)).astype(np.float32)
+    agg = GlobalInteractor(
+        historical_steps=Th, embed_dim=D, num_modes=F, num_heads=H, num_layers=3
+    )
+    variables = agg.init(jax.random.key(0), scene, jnp.asarray(local))
+    got = np.asarray(agg.apply(variables, scene, jnp.asarray(local)))[0]  # [F, A, D]
+
+    p = P(variables["params"])
+    pos = np.asarray(scene.positions)[0, :, Th - 1]
+    angles = np.asarray(scene.rotate_angles)[0]
+    valid = ~np.asarray(scene.padding_mask)[0, :, Th - 1]
+    R = np.stack([rot_mat(a) for a in angles])
+
+    # edges: subgraph of actors valid at the reference step, no radius
+    edges = []
+    for i in range(A):
+        for j in range(A):
+            if i != j and valid[i] and valid[j]:
+                rel_pos = (pos[j] - pos[i]) @ R[i]
+                dth = angles[j] - angles[i]
+                r = multi_embed(
+                    [rel_pos, np.array([np.cos(dth), np.sin(dth)], np.float32)],
+                    p["rel_embed"],
+                )
+                edges.append((i, j, r))
+
+    x = local[0].copy()
+    for li in range(3):
+        x = global_layer_numpy(p[f"layer{li}"], x, edges, None, H)
+    x = ln(x, p["norm"])
+    proj = dense(x, p["multihead_proj"]).reshape(A, F, D)
+    want = np.transpose(proj, (1, 0, 2))
+    np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-5)
+
+
+# ---------------------------------------------------------------------------
+# 7. SDEDecoder oracle (``dec_hivt_nusargo_sde.py:72-105``)
+# ---------------------------------------------------------------------------
+def test_sde_decoder_oracle(rng):
+    """fuse → 60-step Euler rollout (g forced ≈0 → deterministic) →
+    loc / elu-scale / pi heads."""
+    from trajsde_tpu.models.decoders import SDEDecoder
+    from trajsde_tpu.models.sde import decoder_time_grid
+
+    A, D, F, Tf = 3, 16, 2, 8
+    scene = _tiny_scene(rng, A=A, Th=5)
+    local = rng.normal(size=(1, A, D)).astype(np.float32)
+    glob = rng.normal(size=(1, F, A, D)).astype(np.float32)
+    dec = SDEDecoder(
+        local_channels=D, global_channels=D, future_steps=Tf, num_modes=F,
+        max_fut_t=2.0,
+    )
+    variables = dec.init(
+        {"params": jax.random.key(0), "sde": jax.random.key(1)},
+        scene, jnp.asarray(local), jnp.asarray(glob),
+    )
+    params = jax.device_get(variables["params"])
+    head = params["sde_rollout"]["g_func"]["dense_out"]
+    head["kernel"] = jnp.zeros_like(head["kernel"])
+    head["bias"] = jnp.full_like(head["bias"], -40.0)
+    out = dec.apply(
+        {"params": params}, scene, jnp.asarray(local), jnp.asarray(glob),
+        rngs={"sde": jax.random.key(2)},
+    )
+    p = P(params)
+
+    # fuse: Dense([global, local]) → relu(LN)  (``:82-86``)
+    local_exp = np.broadcast_to(local[0][None], (F, A, D))
+    h = dense(np.concatenate([glob[0], local_exp], -1), p["aggr_dense"])
+    y = relu(ln(h, p["aggr_ln"]))
+
+    # rollout: one Euler step per linspace segment, g≈0 (``:72,88``)
+    t0s, dts = jax.tree.map(np.asarray, decoder_time_grid(Tf, 2.0))
+    sol = np.zeros((Tf, F, A, D), np.float32)
+    for k in range(Tf):
+        f = ffunc_numpy(p["sde_rollout"]["f_func"], t0s[k], y)
+        y = y + f * dts[k]
+        sol[k] = y
+    sol = np.transpose(sol, (1, 2, 0, 3))  # [F, A, Tf, D]
+
+    # flax names list attributes loc_layers_0 (Dense), loc_layers_1 (LN),
+    # loc_layers_2 (Dense) at the top level
+    loc = dense(relu(ln(dense(sol, p["loc_layers_0"]), p["loc_layers_1"])), p["loc_layers_2"])
+    scale = dense(relu(ln(dense(sol, p["scale_layers_0"]), p["scale_layers_1"])), p["scale_layers_2"])
+    elu = lambda v: np.where(v > 0, v, np.exp(np.minimum(v, 0)) - 1.0)
+    scale = elu(scale) + 1.0 + 1e-3
+    want_loc = np.concatenate([loc, scale], -1)[None]
+
+    pig = np.concatenate([local_exp, glob[0]], -1)
+    pi = dense(relu(ln(dense(pig, p["pi_layers_0"]), p["pi_layers_1"])), p["pi_layers_2"])
+    want_pi = np.transpose(pi[..., 0], (1, 0))[None]
+
+    np.testing.assert_allclose(np.asarray(out["loc"]), want_loc, rtol=3e-4, atol=3e-5)
+    np.testing.assert_allclose(np.asarray(out["pi"]), want_pi, rtol=3e-4, atol=3e-5)
