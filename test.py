@@ -56,7 +56,20 @@ def main() -> None:
         help="filter each batch to the focal agents before metric update "
         "(reference `only_agent`, model_base_mix.py:133-137)",
     )
+    parser.add_argument(
+        "--serving",
+        action="store_true",
+        help="run inference through the fused Pallas rollout engine "
+        "(VMEM-resident 60-step decoder; Rademacher increments by default)",
+    )
+    parser.add_argument(
+        "--serving-increments", choices=["rademacher", "gaussian"],
+        default="rademacher",
+    )
     args = parser.parse_args()
+    if args.serving and args.ood:
+        parser.error("--serving drives the decoder rollout; --ood scores the "
+                     "encoder ensemble — run them separately")
 
     from trajsde_tpu.config import build_model, load_config
     from trajsde_tpu.data.loader import DataModuleNuArgoMix
@@ -93,10 +106,40 @@ def main() -> None:
     # trajectories (``model_base_mix.py:143-145``)
     is_gtabs = (cfg.datamodule.get("test_dataset_args") or {}).get("is_gtabs", True)
 
+    serve = None
+    if args.serving:
+        from trajsde_tpu.serving import make_serving_fn
+
+        if "sde_rollout" not in state.params.get("decoder", {}):
+            raise SystemExit(
+                "--serving requires the SDE decoder (the fused rollout "
+                "engine); this config's decoder has no rollout"
+            )
+        serve = make_serving_fn(
+            model, {"params": state.params},
+            interpret=jax.default_backend() != "tpu",
+            increments=args.serving_increments,
+        )
+        dec = model.decoder
+        Tf, K, D = dec.future_steps, dec.num_modes, dec.local_channels
+
     @jax.jit
     def eval_step(params, scene, key):
-        kwargs = {"ood": True} if ood else {}
-        out = model.apply({"params": params}, scene, rngs={"sde": key}, **kwargs)
+        if serve is not None:
+            import jax.numpy as jnp
+
+            seed = jax.random.randint(key, (), 0, jnp.iinfo(jnp.int32).max)
+            noise = None
+            if jax.default_backend() != "tpu":
+                # the CPU interpreter lacks the on-core PRNG primitives
+                B, A = scene.x.shape[0], scene.x.shape[1]
+                noise = jax.random.normal(
+                    jax.random.fold_in(key, 1), (Tf, B * K * A, D), jnp.float32
+                )
+            out = serve(scene, key, seed, noise)
+        else:
+            kwargs = {"ood": True} if ood else {}
+            out = model.apply({"params": params}, scene, rngs={"sde": key}, **kwargs)
         if only_agent:
             from trajsde_tpu.data.transforms import (
                 leave_only_agent,

@@ -90,3 +90,18 @@ def test_train_then_test_cli(tmp_path, rng):
     assert subs
     sub = np.load(os.path.join(out_dir, subs[0]))
     assert sub["trajectories"].shape[1:] == (10, 60, 2)
+
+    # serving engine (fused Pallas rollout, interpret mode on CPU)
+    r = subprocess.run(
+        [sys.executable, "test.py", "-c", cfg, "--ckpt", ckpt, "--serving",
+         "--num-actors", "6", "--num-lanes", "8"],
+        env=ENV, capture_output=True, text=True, timeout=1200,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    serve_results = json.loads(r.stdout.strip().splitlines()[-1])
+    assert "ADE_T" in serve_results and np.isfinite(serve_results["ADE_T"])
+    # same checkpoint, same metric space: the engines must agree closely
+    # (stochastic rollouts differ per-path, so compare loosely)
+    assert abs(serve_results["ADE_T"] - results["ADE_T"]) < max(
+        2.0, 0.25 * results["ADE_T"]
+    )

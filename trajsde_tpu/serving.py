@@ -63,7 +63,11 @@ def make_serving_fn(
             increments=increments,
         )
         sol = jnp.transpose(sol.reshape(Tf, B, F, A, D), (1, 2, 3, 0, 4))
-        return m.decoder.decode(scene, sol, local, glob)
+        out = m.decoder.decode(scene, sol, local, glob)
+        # rotated targets like the training forward — lets the eval CLI
+        # compute metrics through the serving engine (``--serving``)
+        out["y"] = m._rotated_y(scene)
+        return out
 
     @jax.jit
     def serve(scene: SceneBatch, key, seed, noise=None):
