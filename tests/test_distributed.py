@@ -116,3 +116,48 @@ def test_checkpoint_best_k_pruning(tmp_path, rng):
     assert best["metric"] == 1.0
     kept = {e["step"] for e in mgr._board}
     assert 4 in kept and 2 in kept and 1 not in kept  # top-2 = metrics 1.0, 3.0
+
+
+def test_zero1_optimizer_sharding_matches_replicated(rng):
+    """ZeRO-1: Adam moments sharded over the data axis must produce the
+    SAME parameters as the fully replicated step — the layouts change the
+    collective schedule (reduce-scatter/all-gather), not the math."""
+    scene = make_scene_batch(rng, batch_size=8, num_actors=6, num_lanes=8, sources=[0, 1])
+    model = make_baseline()
+    opt = optax.adamw(1e-3, weight_decay=1e-4)
+    state = create_train_state(model, opt, scene)
+    step = make_train_step(model, opt, [("L2", 1.0, l2_loss)], donate=False)
+
+    mesh = mesh_lib.make_mesh(n_data=8, n_model=1)
+    sh_scene = mesh_lib.shard_batch(scene, mesh)
+
+    # replicated baseline
+    rep_state = jax.device_put(state, mesh_lib.replicated(mesh))
+    rep_new, _ = step(rep_state, sh_scene)
+
+    # ZeRO-1: params replicated, optimizer state sharded over `data`
+    z_state = rep_state.replace(
+        opt_state=mesh_lib.shard_opt_state(rep_state.opt_state, mesh)
+    )
+    sharded_leaves = [
+        x for x in jax.tree.leaves(z_state.opt_state)
+        if hasattr(x, "sharding") and x.sharding.spec != jax.sharding.PartitionSpec()
+    ]
+    assert sharded_leaves, "no optimizer-state tensor was actually partitioned"
+    z_new, _ = step(z_state, sh_scene)
+
+    for (path, a), (_, b) in zip(
+        jax.tree_util.tree_flatten_with_path(rep_new.params)[0],
+        jax.tree_util.tree_flatten_with_path(z_new.params)[0],
+    ):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=1e-5, atol=1e-7,
+            err_msg=jax.tree_util.keystr(path),
+        )
+    # the updated optimizer state keeps its ZeRO layout across steps
+    z2, _ = step(z_new, sh_scene)
+    still_sharded = [
+        x for x in jax.tree.leaves(z2.opt_state)
+        if hasattr(x, "sharding") and x.sharding.spec != jax.sharding.PartitionSpec()
+    ]
+    assert still_sharded, "ZeRO layout lost after one step"

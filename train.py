@@ -63,6 +63,14 @@ def main() -> None:
         "TRAJSDE_NUM_PROCESSES / TRAJSDE_PROCESS_ID before building the mesh",
     )
     parser.add_argument(
+        "--zero1",
+        action="store_true",
+        help="ZeRO-1: shard the optimizer state (Adam moments) over the "
+        "data axis — XLA emits the reduce-scatter/sharded-update/"
+        "all-gather schedule from the layouts (tested equivalent to the "
+        "replicated step)",
+    )
+    parser.add_argument(
         "--prng",
         default="rbg",
         choices=["rbg", "threefry2x32"],
@@ -114,6 +122,10 @@ def main() -> None:
     example = mesh_lib.shard_batch(example, mesh)
     state = create_train_state(model, optimizer, example, seed=args.seed)
     state = jax.device_put(state, mesh_lib.replicated(mesh))
+    if args.zero1:
+        state = state.replace(
+            opt_state=mesh_lib.shard_opt_state(state.opt_state, mesh)
+        )
 
     checkpointer = CheckpointManager(os.path.join(run_dir, "checkpoints"))
     if args.ckpt:
