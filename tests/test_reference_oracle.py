@@ -13,6 +13,11 @@ match" into a test:
                                          ``enc_hivt_nusargo_sde_sep2.py:470-482``
 * eos gather + diffusion split         — ``enc_hivt_nusargo_sde_sep2.py:184-196``
 * full SDE-encoder forward (g→0)       — ``enc_hivt_nusargo_sde_sep2.py:66-202``
+* GlobalInteractor                     — ``agg_hivt.py:38-58,94-140``
+* SDEDecoder (fuse → rollout → heads)  — ``dec_hivt_nusargo_sde.py:72-105``
+* TemporalEncoder (causal cls transformer) — ``enc_hivt_nusargo_grid.py:218-291``
+* ALEncoder (lane→actor cross attn)    — ``enc_hivt_nusargo_grid.py:294-398``
+* MLPDecoder (one-shot heads)          — ``dec_hivt_nusargo_grid.py:10-64``
 """
 import dataclasses
 
@@ -567,3 +572,132 @@ def test_sde_decoder_oracle(rng):
 
     np.testing.assert_allclose(np.asarray(out["loc"]), want_loc, rtol=3e-4, atol=3e-5)
     np.testing.assert_allclose(np.asarray(out["pi"]), want_pi, rtol=3e-4, atol=3e-5)
+
+
+# ---------------------------------------------------------------------------
+# 8. TemporalEncoder oracle (``enc_hivt_nusargo_grid.py:218-291``)
+# ---------------------------------------------------------------------------
+def test_temporal_encoder_oracle(rng):
+    """Padding-token substitution, cls append, learned pos embed, 4 pre-LN
+    causal transformer layers (packed-qkv MHA), final norm, cls output."""
+    from trajsde_tpu.models.local_encoder import TemporalEncoder
+
+    A, Th, D, H = 4, 6, 16, 4
+    x = rng.normal(size=(1, A, Th, D)).astype(np.float32)
+    padding = rng.uniform(size=(1, A, Th)) < 0.3
+    enc = TemporalEncoder(historical_steps=Th, embed_dim=D, num_heads=H, num_layers=4)
+    variables = enc.init(jax.random.key(0), jnp.asarray(x), jnp.asarray(padding))
+    got = np.asarray(enc.apply(variables, jnp.asarray(x), jnp.asarray(padding)))[0]
+    p = P(variables["params"])
+
+    def mha(xs, mp):
+        """torch nn.MultiheadAttention math: packed in_proj, causal mask
+        (q attends to k ≤ q; cls is last ⇒ sees all)."""
+        T1, D_ = xs.shape
+        hd = D_ // H
+        qkv = xs @ mp["in_proj"]["kernel"] + mp["in_proj"]["bias"]
+        q, k, v = np.split(qkv, 3, -1)
+        q = q.reshape(T1, H, hd)
+        k = k.reshape(T1, H, hd)
+        v = v.reshape(T1, H, hd)
+        logits = np.einsum("qhd,khd->hqk", q, k) / hd ** 0.5
+        for i in range(T1):
+            logits[:, i, i + 1:] = -np.inf
+        w = np.exp(logits - logits.max(-1, keepdims=True))
+        w = w / w.sum(-1, keepdims=True)
+        out = np.einsum("hqk,khd->qhd", w, v).reshape(T1, D_)
+        return out @ mp["out_proj"]["kernel"] + mp["out_proj"]["bias"]
+
+    want = np.zeros((A, D), np.float32)
+    for a in range(A):
+        h = np.where(padding[0, a][:, None], p["padding_token"], x[0, a])
+        h = np.concatenate([h, p["cls_token"]], 0) + p["pos_embed"]
+        for li in range(4):
+            lp = p[f"layer{li}"]
+            h = h + mha(ln(h, lp["norm1"]), lp["self_attn"])
+            h = h + mlp_block(ln(h, lp["norm2"]), lp["mlp"])
+        want[a] = ln(h, p["norm"])[-1]
+    np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-5)
+
+
+# ---------------------------------------------------------------------------
+# 9. ALEncoder oracle (``enc_hivt_nusargo_grid.py:294-398``)
+# ---------------------------------------------------------------------------
+def test_al_encoder_oracle(rng):
+    """Lane→actor cross attention: per-receiver-rotated lane embedding,
+    scatter softmax over each actor's lane set (incl. an empty set),
+    gated update, residual MLP."""
+    from trajsde_tpu.models.local_encoder import ALEncoder
+
+    A, L, D, H = 4, 6, 16, 4
+    x_actor = rng.normal(size=(1, A, D)).astype(np.float32)
+    lane_feat = rng.normal(size=(1, L, 2)).astype(np.float32)
+    al_vec = rng.normal(0, 10, size=(1, A, L, 2)).astype(np.float32)
+    mask = rng.uniform(size=(1, A, L)) < 0.5
+    mask[0, 1] = False  # actor with no lanes: aggr='add' over the empty set
+    angles = rng.uniform(-np.pi, np.pi, A).astype(np.float32)
+    R = np.stack([rot_mat(a) for a in angles])
+
+    enc = ALEncoder(embed_dim=D, num_heads=H)
+    args = (
+        jnp.asarray(x_actor), jnp.asarray(lane_feat), jnp.asarray(al_vec),
+        jnp.asarray(mask), jnp.asarray(R)[None],
+    )
+    variables = enc.init(jax.random.key(0), *args)
+    got = np.asarray(enc.apply(variables, *args))[0]
+    p = P(variables["params"])
+
+    normed = ln(x_actor[0], p["norm1"])
+    msg = np.zeros((A, D), np.float32)
+    for i in range(A):
+        nbrs = [
+            multi_embed(
+                [lane_feat[0, j] @ R[i], al_vec[0, i, j] @ R[i]], p["lane_embed"]
+            )
+            for j in range(L)
+            if mask[0, i, j]
+        ]
+        msg[i] = edge_attention_update(
+            normed[i], np.stack(nbrs) if nbrs else np.zeros((0, D)), p["attn"], H
+        )
+    xo = x_actor[0] + msg
+    want = xo + mlp_block(ln(xo, p["norm2"]), p["mlp"])
+    np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-5)
+
+
+# ---------------------------------------------------------------------------
+# 10. MLPDecoder oracle (``dec_hivt_nusargo_grid.py:10-64``)
+# ---------------------------------------------------------------------------
+def test_mlp_decoder_oracle(rng):
+    """aggr_embed fusion (global‖local), one-shot loc head, elu+1 scale,
+    pi head on (local‖global), reg_mask from the future padding."""
+    from trajsde_tpu.models.decoders import MLPDecoder
+
+    A, D, F, Tf = 3, 16, 2, 4
+    scene = _tiny_scene(rng, A=A, Th=5, Tf=Tf)
+    local = rng.normal(size=(1, A, D)).astype(np.float32)
+    glob = rng.normal(size=(1, F, A, D)).astype(np.float32)
+    dec = MLPDecoder(local_channels=D, global_channels=D, future_steps=Tf, num_modes=F)
+    variables = dec.init(jax.random.key(0), scene, jnp.asarray(local), jnp.asarray(glob))
+    out = dec.apply(variables, scene, jnp.asarray(local), jnp.asarray(glob))
+    p = P(variables["params"])
+
+    local_exp = np.broadcast_to(local[0][None], (F, A, D))
+    head = lambda pre, n, v: dense(v, p[f"{pre}_dense{n}"])
+
+    pig = np.concatenate([local_exp, glob[0]], -1)
+    h = relu(ln(head("pi", 0, pig), p["pi_ln0"]))
+    h = relu(ln(head("pi", 1, h), p["pi_ln1"]))
+    want_pi = np.transpose(head("pi", 2, h)[..., 0], (1, 0))[None]
+
+    h = dense(np.concatenate([glob[0], local_exp], -1), p["aggr_dense"])
+    h = relu(ln(h, p["aggr_ln"]))
+    loc = head("loc", 1, relu(ln(head("loc", 0, h), p["loc_ln0"]))).reshape(F, A, Tf, 2)
+    scale = head("scale", 1, relu(ln(head("scale", 0, h), p["scale_ln0"]))).reshape(F, A, Tf, 2)
+    elu = lambda v: np.where(v > 0, v, np.exp(np.minimum(v, 0)) - 1.0)
+    want_loc = np.concatenate([loc, elu(scale) + 1.0 + 1e-3], -1)[None]
+
+    np.testing.assert_allclose(np.asarray(out["loc"]), want_loc, rtol=3e-4, atol=3e-5)
+    np.testing.assert_allclose(np.asarray(out["pi"]), want_pi, rtol=3e-4, atol=3e-5)
+    want_reg = ~np.asarray(scene.padding_mask)[:, :, -Tf:]
+    np.testing.assert_array_equal(np.asarray(out["reg_mask"]), want_reg)
