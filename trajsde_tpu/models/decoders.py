@@ -178,6 +178,7 @@ class SDEDecoder(nn.Module):
     fused: bool = False       # Pallas VMEM-resident rollout (fwd + custom VJP)
     rollout_rows: int = 1024  # fused rollout row-tile size
     rollout_unroll: int = 6   # fused rollout steps per grid iteration
+    scan_unroll: int = 1      # lax.scan unroll for the non-fused rollout
 
     def setup(self):
         if self.method != "euler":
@@ -195,7 +196,7 @@ class SDEDecoder(nn.Module):
         else:
             self.sde_rollout = scanned(
                 SDEStep, None, embed_dim=D, sde_layers=self.sde_layers,
-                dtype=self.dtype,
+                dtype=self.dtype, unroll=self.scan_unroll,
             )
         self.loc_layers = _mlp_head([D, 2], dtype=self.dtype)
         self.pi_layers = _mlp_head([D, 1], dtype=self.dtype)

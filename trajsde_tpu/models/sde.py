@@ -177,11 +177,13 @@ class SDEStep(nn.Module):
         return y1, y1
 
 
-def scanned(step_cls, name=None, **kwargs):
+def scanned(step_cls, name=None, unroll=1, **kwargs):
     """Wrap a step module in ``nn.scan`` with shared params + split sde rngs.
 
     ``name=None`` for setup-context creation (the attribute provides the
-    name); pass an explicit name only from compact modules.
+    name); pass an explicit name only from compact modules.  ``unroll``
+    forwards to ``lax.scan`` — >1 trades compile time/code size for
+    cross-step XLA fusion of the tiny per-step MLPs.
     """
     scan = nn.scan(
         step_cls,
@@ -189,6 +191,7 @@ def scanned(step_cls, name=None, **kwargs):
         split_rngs={"sde": True, "params": False},
         in_axes=0,
         out_axes=0,
+        unroll=unroll,
     )
     if name is None:
         return scan(**kwargs)

@@ -110,6 +110,7 @@ class LocalEncoderSDESep(nn.Module):
     rows_fwd: int = 64   # fused forward per-tile row budget (VMEM knob)
     rows_bwd: int = 32   # fused backward per-tile row budget
     ln_mm: bool = True   # fused kernel: LN stats via MXU matmuls
+    scan_unroll: int = 1  # lax.scan unroll for the 21-step ODE-RNN
 
     def setup(self):
         if self.method != "euler":
@@ -154,6 +155,7 @@ class LocalEncoderSDESep(nn.Module):
             adaptive=self.adaptive,
             rtol=self.rtol,
             atol=self.atol,
+            unroll=self.scan_unroll,
         )
         self.hidden = self.param("hidden", TOKEN_INIT, (self.embed_dim,))
 
