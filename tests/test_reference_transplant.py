@@ -9,14 +9,18 @@ Weights are exported from the flax modules, transplanted into the torch
 modules (kernel transposes, packed-qkv layout), and both forwards are
 compared to ~1e-5 on the same inputs.
 
-Covered (pure-torch reference code paths — the PyG message-passing blocks
-are covered by the numpy oracles in ``test_reference_oracle.py``):
+Covered — pure-torch paths run as-is; the PyG message-passing blocks run
+through a mini propagate engine (same aggr='add'/node_dim=0 protocol) so
+their ``message``/``update`` code executes verbatim:
 
 * SingleInputEmbedding / MultipleInputEmbedding — ``models/utils/embedding.py:20-68``
 * GRU_Unit                                      — ``models/utils/ode_utils.py:111-152``
 * TemporalEncoder (torch TransformerEncoder)    — ``enc_hivt_nusargo_grid.py:218-291``
 * FFunc / HFunc / GFunc / LSDEFunc.g routing    — ``enc_hivt_nusargo_sde_sep2.py:372-482``
 * MLPDecoder                                    — ``dec_hivt_nusargo_grid.py:10-64``
+* AAEncoder (ragged per-step subgraphs)         — ``enc_hivt_nusargo_grid.py:95-215``
+* ALEncoder (lane→actor cross attention)        — ``enc_hivt_nusargo_grid.py:294-398``
+* GlobalInteractor (full aggregator forward)    — ``agg_hivt.py:18-135``
 """
 import importlib
 import os
@@ -67,8 +71,49 @@ def _install_stubs():
         return
 
     class _MessagePassing(torch.nn.Module):
+        """Mini message-passing engine: executes the reference's PyG-style
+        ``message``/``update`` methods over explicit edge lists (aggr='add',
+        node_dim=0, flow source_to_target — the only configuration the
+        reference uses)."""
+
         def __init__(self, *a, **kw):
             super().__init__()
+
+        def propagate(self, edge_index, size=None, **kwargs):
+            import inspect
+
+            src, dst = edge_index[0], edge_index[1]
+            x = kwargs.get("x")
+            if size is not None and size[1] is not None:
+                size_i = size[1]
+            elif isinstance(x, tuple):
+                size_i = x[1].shape[0]
+            else:
+                size_i = x.shape[0]
+
+            def resolve(name):
+                if name == "edge_index":
+                    return edge_index
+                if name == "index":
+                    return dst
+                if name == "ptr":
+                    return None
+                if name == "size_i":
+                    return size_i
+                if name.endswith("_i"):
+                    base = kwargs[name[:-2]]
+                    return (base[1] if isinstance(base, tuple) else base)[dst]
+                if name.endswith("_j"):
+                    base = kwargs[name[:-2]]
+                    return (base[0] if isinstance(base, tuple) else base)[src]
+                return kwargs[name]
+
+            msg_names = list(inspect.signature(self.message).parameters)
+            out = self.message(**{n: resolve(n) for n in msg_names})
+            agg = torch.zeros((size_i,) + tuple(out.shape[1:]), dtype=out.dtype)
+            agg.index_add_(0, dst, out)
+            upd_names = list(inspect.signature(self.update).parameters)
+            return self.update(agg, *[resolve(n) for n in upd_names[1:]])
 
     tg = _mod("torch_geometric")
     tg.data = _mod(
@@ -77,7 +122,24 @@ def _install_stubs():
     tg.nn = _mod("torch_geometric.nn")
     tg.nn.conv = _mod("torch_geometric.nn.conv", MessagePassing=_MessagePassing)
     tg.typing = _mod("torch_geometric.typing", Adj=object, OptTensor=object, Size=object)
-    tg.utils = _mod("torch_geometric.utils", softmax=None, subgraph=None)
+
+    def scatter_softmax(src, index, ptr=None, num_nodes=None):
+        """PyG ``softmax``: per-receiver softmax over incoming edges."""
+        out = torch.zeros_like(src)
+        n = int(num_nodes) if num_nodes is not None else int(index.max()) + 1
+        for i in range(n):
+            m = index == i
+            if m.any():
+                out[m] = torch.softmax(src[m], dim=0)
+        return out
+
+    def subgraph(subset, edge_index, **kw):
+        keep = subset[edge_index[0]] & subset[edge_index[1]]
+        return edge_index[:, keep], None
+
+    tg.utils = _mod(
+        "torch_geometric.utils", softmax=scatter_softmax, subgraph=subgraph
+    )
 
     _mod("torchdiffeq", odeint=None)
     _mod("pytorch_lightning", LightningModule=torch.nn.Module)
@@ -383,3 +445,213 @@ def test_mlp_decoder_transplant(rng):
     np.testing.assert_array_equal(
         ref_out["reg_mask"].numpy(), np.asarray(out["reg_mask"])[0]
     )
+
+
+def set_single_embed(seq, p):
+    for i, idx in enumerate((0, 3, 6)):
+        set_linear(seq[idx], p[f"Dense_{i}"])
+        set_ln(seq[idx + 1], p[f"LayerNorm_{i}"])
+
+
+def set_multi_embed(mod, p):
+    for i in range(len(mod.module_list)):
+        set_linear(mod.module_list[i][0], p[f"in{i}_dense0"])
+        set_ln(mod.module_list[i][1], p[f"in{i}_ln0"])
+        set_linear(mod.module_list[i][3], p[f"in{i}_dense1"])
+    set_ln(mod.aggr_embed[0], p["aggr_ln0"])
+    set_linear(mod.aggr_embed[2], p["aggr_dense"])
+    set_ln(mod.aggr_embed[3], p["aggr_ln1"])
+
+
+def set_mlp_block(seq, p):
+    set_linear(seq[0], p["Dense_0"])
+    set_linear(seq[3], p["Dense_1"])
+
+
+# ---------------------------------------------------------------------------
+# 6. AAEncoder — the reference's message/softmax/update code executed over
+#    ragged per-step subgraphs (``enc_hivt_nusargo_grid.py:95-215``)
+# ---------------------------------------------------------------------------
+def test_aa_encoder_transplant(rng):
+    from trajsde_tpu.models.local_encoder import AAEncoder
+
+    grid_ref = _ref("models.encoders.enc_hivt_nusargo_grid")
+    A, Th, D, H, radius = 5, 4, 16, 4, 30.0
+    x = rng.normal(0, 2, (A, Th, 2)).astype(np.float32)
+    pos = rng.uniform(-25, 25, (A, Th, 2)).astype(np.float32)
+    angles = rng.uniform(-np.pi, np.pi, A).astype(np.float32)
+    valid = rng.uniform(size=(A, Th)) < 0.8
+    valid[0] = True
+    bos = np.zeros((A, Th), bool)
+    bos[:, 0] = valid[:, 0]
+    c, s = np.cos(angles), np.sin(angles)
+    R = np.stack([np.stack([c, -s], -1), np.stack([s, c], -1)], -2).astype(np.float32)
+
+    # flax forward (dense-masked formulation)
+    mask = np.zeros((1, Th, A, A), bool)
+    edge_vec = np.zeros((1, Th, A, A, 2), np.float32)
+    for t in range(Th):
+        for i in range(A):
+            for j in range(A):
+                e = pos[j, t] - pos[i, t]
+                mask[0, t, i, j] = (
+                    i != j and valid[i, t] and valid[j, t] and e @ e < radius * radius
+                )
+                edge_vec[0, t, i, j] = e
+    mine = AAEncoder(historical_steps=Th, embed_dim=D, num_heads=H)
+    x_t = jnp.asarray(np.transpose(x, (1, 0, 2))[None])
+    args = (
+        x_t, x_t, jnp.asarray(R)[None], jnp.asarray(bos)[None],
+        jnp.asarray(mask), jnp.asarray(edge_vec),
+    )
+    params = mine.init(jax.random.key(0), *args)["params"]
+    got = np.asarray(mine.apply({"params": params}, *args))[0]  # [Th, A, D]
+
+    # reference module, transplanted
+    ref = grid_ref.AAEncoder(
+        historical_steps=Th, node_dim=2, edge_dim=2, embed_dim=D, num_heads=H,
+        dropout=0.1, parallel=False, input_diff=True,
+    ).eval()
+    with torch.no_grad():
+        ref.bos_token.copy_(T(params["bos_token"]))
+        set_single_embed(ref.center_embed.embed, params["center_embed"])
+        set_multi_embed(ref.nbr_embed, params["nbr_embed"])
+        for n in ("lin_q", "lin_k", "lin_v", "lin_ih", "lin_hh", "lin_self", "out_proj"):
+            set_linear(getattr(ref, n), params["attn"][n])
+        set_ln(ref.norm1, params["norm1"])
+        set_ln(ref.norm2, params["norm2"])
+        set_mlp_block(ref.mlp, params["mlp"])
+
+    rot_t = torch.from_numpy(R)
+    for t in range(Th):
+        srcs, dsts, attrs = [], [], []
+        for i in range(A):
+            for j in range(A):
+                if mask[0, t, i, j]:
+                    srcs.append(j)
+                    dsts.append(i)
+                    attrs.append(pos[j, t] - pos[i, t])
+        edge_index = torch.tensor([srcs, dsts], dtype=torch.long)
+        edge_attr = torch.from_numpy(
+            np.asarray(attrs, np.float32).reshape(len(srcs), 2)
+        )
+        out_t = ref(
+            torch.from_numpy(x[:, t]), t, edge_index, edge_attr,
+            torch.from_numpy(bos[:, t]), rotate_mat=rot_t,
+        )
+        allclose(out_t, got[t], tol=5e-5)
+
+
+# ---------------------------------------------------------------------------
+# 7. ALEncoder — reference lane→actor cross attention executed
+#    (``enc_hivt_nusargo_grid.py:294-398``)
+# ---------------------------------------------------------------------------
+def test_al_encoder_transplant(rng):
+    from trajsde_tpu.models.local_encoder import ALEncoder
+
+    grid_ref = _ref("models.encoders.enc_hivt_nusargo_grid")
+    A, L, D, H = 4, 6, 16, 4
+    x_actor = rng.normal(size=(1, A, D)).astype(np.float32)
+    lane_feat = rng.normal(size=(1, L, 2)).astype(np.float32)
+    al_vec = rng.normal(0, 10, size=(1, A, L, 2)).astype(np.float32)
+    mask = rng.uniform(size=(1, A, L)) < 0.5
+    mask[0, 1] = False
+    angles = rng.uniform(-np.pi, np.pi, A).astype(np.float32)
+    c, s = np.cos(angles), np.sin(angles)
+    R = np.stack([np.stack([c, -s], -1), np.stack([s, c], -1)], -2).astype(np.float32)
+
+    mine = ALEncoder(embed_dim=D, num_heads=H)
+    args = (
+        jnp.asarray(x_actor), jnp.asarray(lane_feat), jnp.asarray(al_vec),
+        jnp.asarray(mask), jnp.asarray(R)[None],
+    )
+    params = mine.init(jax.random.key(0), *args)["params"]
+    got = np.asarray(mine.apply({"params": params}, *args))[0]
+
+    ref = grid_ref.ALEncoder(node_dim=2, edge_dim=2, embed_dim=D, num_heads=H).eval()
+    with torch.no_grad():
+        set_multi_embed(ref.lane_embed, params["lane_embed"])
+        for n in ("lin_q", "lin_k", "lin_v", "lin_ih", "lin_hh", "lin_self", "out_proj"):
+            set_linear(getattr(ref, n), params["attn"][n])
+        set_ln(ref.norm1, params["norm1"])
+        set_ln(ref.norm2, params["norm2"])
+        set_mlp_block(ref.mlp, params["mlp"])
+
+    srcs, dsts, attrs = [], [], []
+    for i in range(A):
+        for j in range(L):
+            if mask[0, i, j]:
+                srcs.append(j)
+                dsts.append(i)
+                attrs.append(al_vec[0, i, j])
+    out = ref(
+        (torch.from_numpy(lane_feat[0]), torch.from_numpy(x_actor[0])),
+        torch.tensor([srcs, dsts], dtype=torch.long),
+        torch.from_numpy(np.asarray(attrs, np.float32).reshape(len(srcs), 2)),
+        rotate_mat=torch.from_numpy(R),
+    )
+    allclose(out, got, tol=5e-5)
+
+
+# ---------------------------------------------------------------------------
+# 8. GlobalInteractor — reference aggregator executed end to end
+#    (``agg_hivt.py:18-135``)
+# ---------------------------------------------------------------------------
+def test_global_interactor_transplant(rng):
+    from trajsde_tpu.models.aggregator import GlobalInteractor
+    from test_reference_oracle import _tiny_scene
+
+    agg_ref = _ref("models.aggregators.agg_hivt")
+    A, Th, D, H, F = 4, 5, 16, 4, 3
+    scene = _tiny_scene(rng, A=A, Th=Th)
+    local = rng.normal(size=(1, A, D)).astype(np.float32)
+
+    mine = GlobalInteractor(
+        historical_steps=Th, embed_dim=D, num_modes=F, num_heads=H, num_layers=3
+    )
+    params = mine.init(jax.random.key(0), scene, jnp.asarray(local))["params"]
+    got = np.asarray(mine.apply({"params": params}, scene, jnp.asarray(local)))[0]
+
+    ref = agg_ref.GlobalInteractor(
+        historical_steps=Th, embed_dim=D, num_modes=F, num_heads=H, num_layers=3,
+        dropout=0.1, rotate=True, edge_dim=2,
+    ).eval()
+    with torch.no_grad():
+        set_multi_embed(ref.rel_embed, params["rel_embed"])
+        for li in range(3):
+            lp = params[f"layer{li}"]
+            layer = ref.global_interactor_layers[li]
+            for flax_n, ref_n in (
+                ("lin_q", "lin_q_node"), ("lin_k", "lin_k_node"),
+                ("lin_v", "lin_v_node"), ("lin_k_edge", "lin_k_edge"),
+                ("lin_v_edge", "lin_v_edge"), ("lin_ih", "lin_ih"),
+                ("lin_hh", "lin_hh"), ("lin_self", "lin_self"),
+                ("out_proj", "out_proj"),
+            ):
+                set_linear(getattr(layer, ref_n), lp["attn"][flax_n])
+            set_ln(layer.norm1, lp["norm1"])
+            set_ln(layer.norm2, lp["norm2"])
+            set_mlp_block(layer.mlp, lp["mlp"])
+        set_ln(ref.norm, params["norm"])
+        set_linear(ref.multihead_proj, params["multihead_proj"])
+
+    angles = np.asarray(scene.rotate_angles)[0]
+    c, s = np.cos(angles), np.sin(angles)
+    R = np.stack([np.stack([c, -s], -1), np.stack([s, c], -1)], -2).astype(np.float32)
+    ei = torch.tensor(
+        [[j, i] for i in range(A) for j in range(A) if i != j], dtype=torch.long
+    ).t()
+
+    class _Data:
+        edge_index = ei
+
+        def __getitem__(self, k):
+            return {
+                "padding_mask": torch.from_numpy(np.asarray(scene.padding_mask)[0]),
+                "positions": torch.from_numpy(np.asarray(scene.positions)[0]),
+                "rotate_mat": torch.from_numpy(R),
+                "rotate_angles": torch.from_numpy(angles),
+            }[k]
+
+    out = ref(_Data(), torch.from_numpy(local[0]))
+    allclose(out, got, tol=5e-5)
