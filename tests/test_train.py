@@ -154,3 +154,61 @@ def test_training_is_deterministic(rng):
     p1, p2 = run(), run()
     for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_preemption_saves_and_returns(rng, tmp_path):
+    """SIGTERM mid-epoch → in-flight step completes, an emergency
+    checkpoint lands (kept by the pruner), fit returns cleanly, and a
+    resume continues from the saved step."""
+    import os
+    import signal
+
+    scene = _scene(rng)
+    model = make_baseline()
+    opt = optax.adamw(1e-3)
+    state = create_train_state(model, opt, scene)
+    metrics = make_metrics(
+        ["ADE_T"], [{"dataset": "nuScenes", "end_idcs": [59, 29]}]
+    )
+    from trajsde_tpu.train.checkpoint import CheckpointManager
+
+    trainer = Trainer(
+        model=model,
+        optimizer=opt,
+        losses=[("L2", 1.0, l2_loss)],
+        metrics=metrics,
+        checkpointer=CheckpointManager(str(tmp_path / "ckpt"), save_top_k=2),
+        monitor="ADE_T",
+    )
+
+    def batches_then_sigterm():
+        yield scene
+        os.kill(os.getpid(), signal.SIGTERM)  # caught by the trainer's handler
+        yield scene
+        yield scene
+
+    out = trainer.fit(
+        state,
+        train_batches=batches_then_sigterm,
+        val_batches=lambda: [scene],
+        max_epochs=5,
+    )
+    # the prefetcher pulls ahead, so the signal lands while step 1's data
+    # is in flight: step 1 completes, nothing after it runs
+    assert int(out.step) == 1
+    assert trainer._preempted
+    entry = trainer.checkpointer.latest()
+    assert entry is not None and entry["metric"] is None
+    # default handlers are restored on exit
+    assert signal.getsignal(signal.SIGTERM) is signal.SIG_DFL
+
+    restored = trainer.checkpointer.restore(out)
+    assert int(restored.step) == 1
+    trainer._preempted = False
+    resumed = trainer.fit(
+        restored,
+        train_batches=lambda: [scene],
+        val_batches=lambda: [scene],
+        max_epochs=1,
+    )
+    assert int(resumed.step) == 2

@@ -190,12 +190,44 @@ class Trainer:
     is_gtabs: bool = True        # delta-target mode converts eval to meters
     profiler: Optional[Any] = None  # ProfilerHook — jax.profiler trace window
     log_every: int = 1           # scalar-log cadence (each log syncs the host)
+    preempt_signals: bool = True  # SIGTERM/SIGINT → emergency checkpoint + clean return
 
     def __post_init__(self):
         self.train_step = make_train_step(
             self.model, self.optimizer, self.losses, ts_drop_rate=self.ts_drop_rate
         )
         self.eval_step = make_eval_step(self.model, self.metrics, self.is_gtabs)
+        self._preempted = False
+
+    def _install_preempt_handlers(self):
+        """TPU-pod preemption delivers SIGTERM; Lightning (and the
+        reference) just dies mid-step.  Here the signal sets a flag, the
+        step loop finishes the in-flight step, saves an emergency
+        checkpoint (kept by the pruner's ``keep_last``), and ``fit``
+        returns cleanly so ``--ckpt`` resume loses at most one step."""
+        import signal
+        import threading
+
+        if not self.preempt_signals or threading.current_thread() is not threading.main_thread():
+            return {}
+        previous = {}
+
+        def handler(signum, frame):
+            self._preempted = True
+
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            try:
+                previous[sig] = signal.signal(sig, handler)
+            except (ValueError, OSError):  # non-main thread / exotic platform
+                pass
+        return previous
+
+    @staticmethod
+    def _restore_handlers(previous):
+        import signal
+
+        for sig, old in previous.items():
+            signal.signal(sig, old)
 
     def _nfe_logs(self) -> Dict[str, float]:
         """Static function-evaluation counts per forward — the fixed-grid
@@ -227,36 +259,48 @@ class Trainer:
             nfe = self._nfe_logs()
             if nfe:
                 self.logger.log_scalars(step, nfe)
-        for epoch in range(max_epochs):
-            t0 = time.time()
-            n_steps = 0
-            scenes = 0
-            for scene in device_prefetch(train_batches()):
-                state, logs = self.train_step(state, scene)
-                step += 1
-                n_steps += 1
-                scenes += scene.batch_size
-                if self.profiler is not None:
-                    self.profiler.on_step(step)
-                if self.logger is not None and step % self.log_every == 0:
-                    self.logger.log_scalars(step, logs)
-            results = self.evaluate(state, val_batches)
-            dt = time.time() - t0
-            if self.logger is not None:
-                self.logger.log_scalars(
-                    step,
-                    {f"val/{k}": v for k, v in results.items()}
-                    | {
-                        "epoch_time_s": dt,
-                        "epoch": epoch,
-                        "perf/steps_per_s": n_steps / max(dt, 1e-9),
-                        "perf/scenes_per_s": scenes / max(dt, 1e-9),
-                    },
-                )
-            if self.checkpointer is not None:
-                self.checkpointer.save(state, metric=results.get(self.monitor), step=step)
-        if self.profiler is not None:
-            self.profiler.stop()
+        previous_handlers = self._install_preempt_handlers()
+        try:
+            for epoch in range(max_epochs):
+                t0 = time.time()
+                n_steps = 0
+                scenes = 0
+                for scene in device_prefetch(train_batches()):
+                    state, logs = self.train_step(state, scene)
+                    step += 1
+                    n_steps += 1
+                    scenes += scene.batch_size
+                    if self.profiler is not None:
+                        self.profiler.on_step(step)
+                    if self.logger is not None and step % self.log_every == 0:
+                        self.logger.log_scalars(step, logs)
+                    if self._preempted:
+                        if self.checkpointer is not None:
+                            self.checkpointer.save(state, metric=None, step=step)
+                        if self.logger is not None:
+                            self.logger.log_scalars(step, {"preempted": 1.0})
+                        return state
+                results = self.evaluate(state, val_batches)
+                dt = time.time() - t0
+                if self.logger is not None:
+                    self.logger.log_scalars(
+                        step,
+                        {f"val/{k}": v for k, v in results.items()}
+                        | {
+                            "epoch_time_s": dt,
+                            "epoch": epoch,
+                            "perf/steps_per_s": n_steps / max(dt, 1e-9),
+                            "perf/scenes_per_s": scenes / max(dt, 1e-9),
+                        },
+                    )
+                if self.checkpointer is not None:
+                    self.checkpointer.save(
+                        state, metric=results.get(self.monitor), step=step
+                    )
+        finally:
+            self._restore_handlers(previous_handlers)
+            if self.profiler is not None:
+                self.profiler.stop()
         return state
 
     def evaluate(self, state: TrainState, batches) -> Dict[str, float]:
