@@ -179,6 +179,7 @@ class SDEDecoder(nn.Module):
     rollout_rows: int = 1024  # fused rollout row-tile size
     rollout_unroll: int = 6   # fused rollout steps per grid iteration
     scan_unroll: int = 1      # lax.scan unroll for the non-fused rollout
+    packed: bool = True       # pack f+g per step into one full-width chain
 
     def setup(self):
         if self.method != "euler":
@@ -196,7 +197,7 @@ class SDEDecoder(nn.Module):
         else:
             self.sde_rollout = scanned(
                 SDEStep, None, embed_dim=D, sde_layers=self.sde_layers,
-                dtype=self.dtype, unroll=self.scan_unroll,
+                dtype=self.dtype, unroll=self.scan_unroll, packed=self.packed,
             )
         self.loc_layers = _mlp_head([D, 2], dtype=self.dtype)
         self.pi_layers = _mlp_head([D, 1], dtype=self.dtype)

@@ -35,6 +35,67 @@ def masked_softmax(logits: jax.Array, mask: jax.Array, axis: int = -1) -> jax.Ar
     return e / jnp.maximum(s, jnp.asarray(1e-16, logits.dtype))
 
 
+class ParamDense(nn.Module):
+    """Declares a Dense layer's params without applying it.
+
+    Used by the packed compute paths: the parameter tree stays IDENTICAL
+    to the per-layer ``nn.Dense`` version (same scope names, same
+    initializers — flax derives each param's init RNG from its scope
+    path, so even the initial values coincide), while the matmuls are
+    evaluated horizontally packed for MXU width.
+    """
+
+    in_features: int
+    features: int
+    kernel_init: Any = XAVIER
+
+    @nn.compact
+    def __call__(self):
+        return {
+            "kernel": self.param(
+                "kernel", self.kernel_init, (self.in_features, self.features)
+            ),
+            "bias": self.param("bias", nn.initializers.zeros, (self.features,)),
+        }
+
+
+def packed_mlp_eval(nets, x, dtype=None, act=jnp.tanh):
+    """Evaluate K equal-depth MLPs sharing the input ``x`` as ONE chain.
+
+    ``nets``: list of ordered ``[{kernel, bias}, ...]`` per net.  Layer 0
+    kernels are hstacked (shared input), deeper layers form a block
+    diagonal; the zero blocks contribute exact zeros, so the math is the
+    per-net math — but each D=64-wide matmul pair/triple now fills a full
+    128/192-wide MXU tile instead of padding half of it (the per-step SDE
+    MLPs are the dominant sequential cost; see PERF.md "matmul packing").
+    ``act`` is applied before every layer after the first (the
+    FFunc/GFunc tanh chain).  Returns the per-net output splits.
+    """
+    depth = len(nets[0])
+    assert all(len(n) == depth for n in nets)
+    h = x if dtype is None else x.astype(dtype)  # nn.Dense promote_dtype parity
+    for li in range(depth):
+        ks = [n[li]["kernel"] for n in nets]
+        if li == 0:
+            w = jnp.concatenate(ks, axis=1)
+        else:
+            w = jax.scipy.linalg.block_diag(*ks)
+        b = jnp.concatenate([n[li]["bias"] for n in nets], axis=0)
+        if dtype is not None:
+            w = w.astype(dtype)
+            b = b.astype(dtype)
+        if li > 0:
+            h = act(h)
+        h = h @ w + b
+    widths = [n[-1]["kernel"].shape[1] for n in nets]
+    splits = []
+    start = 0
+    for wd in widths:
+        splits.append(h[..., start : start + wd])
+        start += wd
+    return splits
+
+
 class MlpBlock(nn.Module):
     """Feed-forward block Dense(4D) → ReLU → Drop → Dense(D) → Drop."""
 
@@ -198,21 +259,55 @@ class GRUUnit(nn.Module):
     latent_dim: int
     n_units: int
     dtype: Any = None
+    packed: bool = True  # pack update+reset gates (shared input) into one
+                         # full-width matmul chain; identical params + math
 
     @nn.compact
     def __call__(self, h_cur: jax.Array, x: jax.Array, mask: jax.Array) -> jax.Array:
         init = nn.initializers.normal(stddev=0.1)
-
-        def gate_net(name: str, out_dim: int, inp: jax.Array) -> jax.Array:
-            h = nn.Dense(self.n_units, kernel_init=init, dtype=self.dtype, name=f"{name}_0")(inp)
-            h = nn.tanh(h)
-            return nn.Dense(out_dim, kernel_init=init, dtype=self.dtype, name=f"{name}_1")(h)
-
         concat = jnp.concatenate([h_cur, x], axis=-1)
-        update = nn.sigmoid(gate_net("update_gate", self.latent_dim, concat))
-        reset = nn.sigmoid(gate_net("reset_gate", self.latent_dim, concat))
-        combined = jnp.concatenate([x, reset * h_cur], axis=-1)
-        new_state = gate_net("new_state", self.latent_dim, combined)
+
+        if self.packed:
+            din = concat.shape[-1]
+            banks = {
+                name: ParamDense(
+                    din if name.endswith("_0") else self.n_units,
+                    self.n_units if name.endswith("_0") else self.latent_dim,
+                    kernel_init=init,
+                    name=name,
+                )()
+                for name in (
+                    "update_gate_0", "update_gate_1",
+                    "reset_gate_0", "reset_gate_1",
+                    "new_state_0", "new_state_1",
+                )
+            }
+            update, reset = packed_mlp_eval(
+                [
+                    [banks["update_gate_0"], banks["update_gate_1"]],
+                    [banks["reset_gate_0"], banks["reset_gate_1"]],
+                ],
+                concat,
+                dtype=self.dtype,
+            )
+            update = nn.sigmoid(update)
+            reset = nn.sigmoid(reset)
+            # new_state depends on reset's output — inherently sequential
+            combined = jnp.concatenate([x, reset * h_cur], axis=-1)
+            (new_state,) = packed_mlp_eval(
+                [[banks["new_state_0"], banks["new_state_1"]]], combined, dtype=self.dtype
+            )
+        else:
+            def gate_net(name: str, out_dim: int, inp: jax.Array) -> jax.Array:
+                h = nn.Dense(self.n_units, kernel_init=init, dtype=self.dtype, name=f"{name}_0")(inp)
+                h = nn.tanh(h)
+                return nn.Dense(out_dim, kernel_init=init, dtype=self.dtype, name=f"{name}_1")(h)
+
+            update = nn.sigmoid(gate_net("update_gate", self.latent_dim, concat))
+            reset = nn.sigmoid(gate_net("reset_gate", self.latent_dim, concat))
+            combined = jnp.concatenate([x, reset * h_cur], axis=-1)
+            new_state = gate_net("new_state", self.latent_dim, combined)
+
         h_next = (1.0 - update) * new_state + update * h_cur
         m = mask[..., None].astype(h_cur.dtype)
         return m * h_next + (1.0 - m) * h_cur

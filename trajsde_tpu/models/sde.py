@@ -27,7 +27,50 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from trajsde_tpu.models.layers import XAVIER, GRUUnit
+from trajsde_tpu.models.layers import XAVIER, GRUUnit, ParamDense, packed_mlp_eval
+
+
+class FFuncParams(nn.Module):
+    """Param bank mirroring ``FFunc``'s tree (packed compute path)."""
+
+    embed_dim: int
+    num_layers: int = 2
+
+    @nn.compact
+    def __call__(self):
+        D = self.embed_dim
+        out = {"dense0": ParamDense(D + 2, D, name="dense0")()}
+        for i in range(self.num_layers):
+            out[f"dense{i + 1}"] = ParamDense(D, D, name=f"dense{i + 1}")()
+        return out
+
+
+class GFuncParams(nn.Module):
+    """Param bank mirroring ``GFunc``'s tree (packed compute path)."""
+
+    embed_dim: int
+    num_layers: int = 2
+
+    @nn.compact
+    def __call__(self):
+        D = self.embed_dim
+        out = {"dense0": ParamDense(D + 2, D, name="dense0")()}
+        for i in range(self.num_layers - 1):
+            out[f"dense{i + 1}"] = ParamDense(D, D, name=f"dense{i + 1}")()
+        out["dense_out"] = ParamDense(D, 1, name="dense_out")()
+        return out
+
+
+def _f_layer_list(p, num_layers):
+    return [p["dense0"]] + [p[f"dense{i + 1}"] for i in range(num_layers)]
+
+
+def _g_layer_list(p, num_layers):
+    return (
+        [p["dense0"]]
+        + [p[f"dense{i + 1}"] for i in range(num_layers - 1)]
+        + [p["dense_out"]]
+    )
 
 
 def _time_feats(t: jax.Array, y: jax.Array) -> jax.Array:
@@ -106,12 +149,38 @@ class SDEGRUStep(nn.Module):
     rtol: float = 1e-3
     atol: float = 1e-3
     adaptive_max_steps: int = 8
+    packed: bool = True  # f + g_nus + g_argo share [y, sin t, cos t]: pack
+                         # the three 64-wide MLPs into one full-width chain
+                         # (identical params and math; fixed-grid path only)
 
     @nn.compact
     def __call__(self, carry, xs):
         h, nus_mask = carry
         obs, obs_mask, t0, dt = xs
         dt = dt.astype(h.dtype)
+
+        if self.packed and not self.adaptive:
+            fp = FFuncParams(self.embed_dim, self.sde_layers, name="f_func")()
+            gnp = GFuncParams(self.embed_dim, self.sde_layers, name="g_nus")()
+            gap = GFuncParams(self.embed_dim, self.sde_layers, name="g_argo")()
+            f, g_nus_raw, g_argo_raw = packed_mlp_eval(
+                [
+                    _f_layer_list(fp, self.sde_layers),
+                    _g_layer_list(gnp, self.sde_layers),
+                    _g_layer_list(gap, self.sde_layers),
+                ],
+                _time_feats(t0, h),
+                dtype=self.dtype,
+            )
+            g = jnp.where(
+                nus_mask[..., None], nn.sigmoid(g_nus_raw), nn.sigmoid(g_argo_raw)
+            )  # [..., 1]
+            eps = jax.random.normal(self.make_rng("sde"), h.shape, h.dtype)
+            y1 = h + f * dt + g * (jnp.sqrt(dt) * eps)
+            h_next = GRUUnit(
+                self.embed_dim, self.embed_dim, dtype=self.dtype, name="gru"
+            )(y1, obs, obs_mask)
+            return (h_next, nus_mask), (h_next, g[..., 0])
 
         f_mod = FFunc(self.embed_dim, self.sde_layers, dtype=self.dtype, name="f_func")
         g_nus_mod = GFunc(self.embed_dim, self.sde_layers, dtype=self.dtype, name="g_nus")
@@ -165,13 +234,27 @@ class SDEStep(nn.Module):
     embed_dim: int
     sde_layers: int = 2
     dtype: Any = None
+    packed: bool = True  # f + g share the input: one full-width matmul chain
 
     @nn.compact
     def __call__(self, y, xs):
         t0, dt = xs
         dt = dt.astype(y.dtype)
-        f = FFunc(self.embed_dim, self.sde_layers, dtype=self.dtype, name="f_func")(t0, y)
-        g = GFunc(self.embed_dim, self.sde_layers, dtype=self.dtype, name="g_func")(t0, y)
+        if self.packed:
+            fp = FFuncParams(self.embed_dim, self.sde_layers, name="f_func")()
+            gp = GFuncParams(self.embed_dim, self.sde_layers, name="g_func")()
+            f, g_raw = packed_mlp_eval(
+                [
+                    _f_layer_list(fp, self.sde_layers),
+                    _g_layer_list(gp, self.sde_layers),
+                ],
+                _time_feats(t0, y),
+                dtype=self.dtype,
+            )
+            g = nn.sigmoid(g_raw)
+        else:
+            f = FFunc(self.embed_dim, self.sde_layers, dtype=self.dtype, name="f_func")(t0, y)
+            g = GFunc(self.embed_dim, self.sde_layers, dtype=self.dtype, name="g_func")(t0, y)
         eps = jax.random.normal(self.make_rng("sde"), y.shape, y.dtype)
         y1 = y + f * dt + g * (jnp.sqrt(dt) * eps)
         return y1, y1

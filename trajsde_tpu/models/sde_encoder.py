@@ -111,6 +111,8 @@ class LocalEncoderSDESep(nn.Module):
     rows_bwd: int = 32   # fused backward per-tile row budget
     ln_mm: bool = True   # fused kernel: LN stats via MXU matmuls
     scan_unroll: int = 1  # lax.scan unroll for the 21-step ODE-RNN
+    packed: bool = True   # pack f+g_nus+g_argo (and GRU gates) per step
+                          # into full-width matmul chains
 
     def setup(self):
         if self.method != "euler":
@@ -156,6 +158,7 @@ class LocalEncoderSDESep(nn.Module):
             rtol=self.rtol,
             atol=self.atol,
             unroll=self.scan_unroll,
+            packed=self.packed,
         )
         self.hidden = self.param("hidden", TOKEN_INIT, (self.embed_dim,))
 
