@@ -18,14 +18,14 @@ def _grads(apply_fn, params, *args):
     return jax.grad(lambda p: jnp.sum(apply_fn(p, *args) ** 2))(params)
 
 
-def _assert_trees_close(a, b):
+def _assert_trees_close(a, b, tol=None):
     for (path, x), (_, y) in zip(
         jax.tree_util.tree_flatten_with_path(a)[0],
         jax.tree_util.tree_flatten_with_path(b)[0],
     ):
         np.testing.assert_allclose(
             np.asarray(x), np.asarray(y),
-            err_msg=jax.tree_util.keystr(path), **TOL,
+            err_msg=jax.tree_util.keystr(path), **(tol or TOL),
         )
 
 
@@ -147,3 +147,67 @@ def test_flagship_forward_packed_parity(rng):
             np.asarray(out_p[k]), np.asarray(out_u[k]), rtol=1e-5, atol=1e-5,
             err_msg=k,
         )
+
+
+def test_edge_attention_packed_parity(rng):
+    """Both EdgeAttention variants (per-pair kv; node+edge kv) packed vs
+    per-layer: same params, same outputs, same grads."""
+    from trajsde_tpu.models.layers import EdgeAttention
+
+    B, Nq, Nk, D, H = 2, 5, 7, 16, 4
+    center = jnp.asarray(rng.normal(size=(B, Nq, D)).astype(np.float32))
+    mask = jnp.asarray(rng.uniform(size=(B, Nq, Nk)) < 0.5)
+    kv_pair = jnp.asarray(rng.normal(size=(B, Nq, Nk, D)).astype(np.float32))
+    kv_node = jnp.asarray(rng.normal(size=(B, Nk, D)).astype(np.float32))
+    kv_edge = jnp.asarray(rng.normal(size=(B, Nq, Nk, D)).astype(np.float32))
+
+    for kwargs in (dict(kv_pair=kv_pair), dict(kv_node=kv_node, kv_edge=kv_edge)):
+        packed = EdgeAttention(D, H, packed=True)
+        plain = EdgeAttention(D, H, packed=False)
+        vp = packed.init(jax.random.key(0), center, mask, **kwargs)
+        vu = plain.init(jax.random.key(0), center, mask, **kwargs)
+        _assert_trees_close(vp["params"], vu["params"])
+
+        def out(mod, p):
+            return mod.apply({"params": p}, center, mask, **kwargs)
+
+        np.testing.assert_allclose(
+            np.asarray(out(packed, vp["params"])),
+            np.asarray(out(plain, vp["params"])), **TOL,
+        )
+        # grads: the packed backward computes dW over the concatenated
+        # output then slices — same sum, different accumulation order, so
+        # allow reassociation-level noise
+        _assert_trees_close(
+            jax.grad(lambda p: jnp.sum(out(packed, p) ** 2))(vp["params"]),
+            jax.grad(lambda p: jnp.sum(out(plain, p) ** 2))(vp["params"]),
+            tol=dict(rtol=1e-4, atol=1e-5),
+        )
+
+
+def test_multi_embedding_packed_parity(rng):
+    """Σᵢ hᵢ @ Wᵢ as one vstacked matmul: same params, outputs, grads."""
+    from trajsde_tpu.models.embedding import MultipleInputEmbedding
+
+    D = 16
+    xs = [jnp.asarray(rng.normal(size=(9, 2)).astype(np.float32)) for _ in range(2)]
+    packed = MultipleInputEmbedding(D, packed=True)
+    plain = MultipleInputEmbedding(D, packed=False)
+    vp = packed.init(jax.random.key(0), xs)
+    vu = plain.init(jax.random.key(0), xs)
+    _assert_trees_close(vp["params"], vu["params"])
+
+    def out(mod, p):
+        return mod.apply({"params": p}, xs)
+
+    np.testing.assert_allclose(
+        np.asarray(out(packed, vp["params"])), np.asarray(out(plain, vp["params"])), **TOL
+    )
+    _assert_trees_close(
+        jax.grad(lambda p: jnp.sum(out(packed, p) ** 2))(vp["params"]),
+        jax.grad(lambda p: jnp.sum(out(plain, p) ** 2))(vp["params"]),
+        # K=128 single accumulation vs two K=64 sums: ~1e-7-relative forward
+        # reassociation noise, amplified by the LayerNorm backward into the
+        # tiny layer-0 bias grads
+        tol=dict(rtol=1e-2, atol=1e-4),
+    )

@@ -53,21 +53,45 @@ class MultipleInputConcatEmbedding(nn.Module):
 
 
 class MultipleInputEmbedding(nn.Module):
-    """Per-input 2-layer MLPs summed, then aggregated (``embedding.py:43-70``)."""
+    """Per-input 2-layer MLPs summed, then aggregated (``embedding.py:43-70``).
+
+    ``packed=True`` evaluates the per-branch ``dense1`` matmuls as ONE
+    vstacked matmul: ``Σᵢ hᵢ @ Wᵢ = [h₀‖h₁] @ [W₀; W₁]`` (exact; biases
+    sum).  Parameter tree identical to the per-layer path.
+    """
 
     out_channel: int
     dtype: Any = None
+    packed: bool = False  # MEASURED SLOWER at production shapes (78.5 vs
+                          # 76.9 ms/step): the [.., 2D] concat intermediate
+                          # on the pair tensor costs more HBM traffic than
+                          # the vstacked matmul saves.  Knob + parity test.
 
     @nn.compact
     def __call__(self, inputs: Sequence[jnp.ndarray]) -> jnp.ndarray:
-        embedded = []
+        hidden = []
         for i, x in enumerate(inputs):
             h = nn.Dense(self.out_channel, kernel_init=XAVIER, dtype=self.dtype, name=f"in{i}_dense0")(x)
             h = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name=f"in{i}_ln0")(h)
-            h = nn.relu(h)
-            h = nn.Dense(self.out_channel, kernel_init=XAVIER, dtype=self.dtype, name=f"in{i}_dense1")(h)
-            embedded.append(h)
-        out = sum(embedded)
+            hidden.append(nn.relu(h))
+        if self.packed:
+            from trajsde_tpu.models.layers import ParamDense
+
+            banks = [
+                ParamDense(self.out_channel, self.out_channel, name=f"in{i}_dense1")()
+                for i in range(len(inputs))
+            ]
+            w = jnp.concatenate([b["kernel"] for b in banks], axis=0)  # vstack
+            bias = sum(b["bias"] for b in banks)
+            h = jnp.concatenate(hidden, axis=-1)
+            if self.dtype is not None:
+                h, w, bias = h.astype(self.dtype), w.astype(self.dtype), bias.astype(self.dtype)
+            out = h @ w + bias
+        else:
+            out = sum(
+                nn.Dense(self.out_channel, kernel_init=XAVIER, dtype=self.dtype, name=f"in{i}_dense1")(h)
+                for i, h in enumerate(hidden)
+            )
         out = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="aggr_ln0")(out)
         out = nn.relu(out)
         out = nn.Dense(self.out_channel, kernel_init=XAVIER, dtype=self.dtype, name="aggr_dense")(out)

@@ -136,6 +136,12 @@ class EdgeAttention(nn.Module):
     num_heads: int
     dropout: float = 0.1
     dtype: Any = None
+    packed: bool = False  # hstack-packed q/hh/self and k/v projections —
+                          # identical params + math, but MEASURED SLOWER at
+                          # production shapes (86.1 vs 76.9 ms/step: the
+                          # packed [.., 2D] pair-tensor intermediate costs
+                          # more HBM traffic than the half-width matmuls
+                          # save; see PERF.md).  Knob kept with parity test.
 
     @nn.compact
     def __call__(
@@ -151,17 +157,49 @@ class EdgeAttention(nn.Module):
         head_dim = D // H
         scale = head_dim ** 0.5
 
-        q = nn.Dense(D, kernel_init=XAVIER, dtype=self.dtype, name="lin_q")(center)
-        if kv_pair is not None:
-            k = nn.Dense(D, kernel_init=XAVIER, dtype=self.dtype, name="lin_k")(kv_pair)
-            v = nn.Dense(D, kernel_init=XAVIER, dtype=self.dtype, name="lin_v")(kv_pair)
+        if self.packed:
+            # horizontal packing: lin_q/lin_hh/lin_self share ``center`` and
+            # lin_k/lin_v share their kv stream — hstacked kernels run one
+            # full-width matmul per stream instead of 2-3 half-width ones
+            # (the k/v matmuls ride the model's LARGEST tensor, the AA pair
+            # embeddings).  Param tree identical to the per-layer path.
+            def bank(name):
+                return ParamDense(D, D, name=name)()
+
+            def packed_apply(x, banks):
+                w = jnp.concatenate([b["kernel"] for b in banks], axis=1)
+                bb = jnp.concatenate([b["bias"] for b in banks], axis=0)
+                if self.dtype is not None:
+                    x, w, bb = x.astype(self.dtype), w.astype(self.dtype), bb.astype(self.dtype)
+                out = x @ w + bb
+                return jnp.split(out, len(banks), axis=-1)
+
+            q, hh_pre, self_pre = packed_apply(
+                center, [bank("lin_q"), bank("lin_hh"), bank("lin_self")]
+            )
+            if kv_pair is not None:
+                k, v = packed_apply(kv_pair, [bank("lin_k"), bank("lin_v")])
+            else:
+                kn, vn = packed_apply(kv_node, [bank("lin_k"), bank("lin_v")])
+                ke, ve = packed_apply(
+                    kv_edge, [bank("lin_k_edge"), bank("lin_v_edge")]
+                )
+                k = kn[..., None, :, :] + ke
+                v = vn[..., None, :, :] + ve
         else:
-            # node-wise projections stay [..., Nk, D]; the per-edge stream is
-            # projected separately and broadcast-added over the query axis.
-            k = nn.Dense(D, kernel_init=XAVIER, dtype=self.dtype, name="lin_k")(kv_node)[..., None, :, :]
-            v = nn.Dense(D, kernel_init=XAVIER, dtype=self.dtype, name="lin_v")(kv_node)[..., None, :, :]
-            k = k + nn.Dense(D, kernel_init=XAVIER, dtype=self.dtype, name="lin_k_edge")(kv_edge)
-            v = v + nn.Dense(D, kernel_init=XAVIER, dtype=self.dtype, name="lin_v_edge")(kv_edge)
+            q = nn.Dense(D, kernel_init=XAVIER, dtype=self.dtype, name="lin_q")(center)
+            hh_pre = nn.Dense(D, kernel_init=XAVIER, dtype=self.dtype, name="lin_hh")(center)
+            self_pre = nn.Dense(D, kernel_init=XAVIER, dtype=self.dtype, name="lin_self")(center)
+            if kv_pair is not None:
+                k = nn.Dense(D, kernel_init=XAVIER, dtype=self.dtype, name="lin_k")(kv_pair)
+                v = nn.Dense(D, kernel_init=XAVIER, dtype=self.dtype, name="lin_v")(kv_pair)
+            else:
+                # node-wise projections stay [..., Nk, D]; the per-edge stream is
+                # projected separately and broadcast-added over the query axis.
+                k = nn.Dense(D, kernel_init=XAVIER, dtype=self.dtype, name="lin_k")(kv_node)[..., None, :, :]
+                v = nn.Dense(D, kernel_init=XAVIER, dtype=self.dtype, name="lin_v")(kv_node)[..., None, :, :]
+                k = k + nn.Dense(D, kernel_init=XAVIER, dtype=self.dtype, name="lin_k_edge")(kv_edge)
+                v = v + nn.Dense(D, kernel_init=XAVIER, dtype=self.dtype, name="lin_v_edge")(kv_edge)
 
         q = q.reshape(q.shape[:-1] + (H, head_dim))
         k = k.reshape(k.shape[:-1] + (H, head_dim))
@@ -177,9 +215,9 @@ class EdgeAttention(nn.Module):
 
         gate = nn.sigmoid(
             nn.Dense(D, kernel_init=XAVIER, dtype=self.dtype, name="lin_ih")(agg)
-            + nn.Dense(D, kernel_init=XAVIER, dtype=self.dtype, name="lin_hh")(center)
+            + hh_pre
         )
-        out = agg + gate * (nn.Dense(D, kernel_init=XAVIER, dtype=self.dtype, name="lin_self")(center) - agg)
+        out = agg + gate * (self_pre - agg)
         out = nn.Dense(D, kernel_init=XAVIER, dtype=self.dtype, name="out_proj")(out)
         out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
         return out
