@@ -204,7 +204,7 @@ def test_preemption_saves_and_returns(rng, tmp_path):
 
     restored = trainer.checkpointer.restore(out)
     assert int(restored.step) == 1
-    trainer._preempted = False
+    # fit() must clear the stale preemption flag itself on entry
     resumed = trainer.fit(
         restored,
         train_batches=lambda: [scene],

@@ -15,50 +15,13 @@ from flax import linen as nn
 
 from trajsde_tpu.data.scene import SceneBatch
 from trajsde_tpu.models.layers import LN_EPS, XAVIER
-from trajsde_tpu.models.sde import SDEStep, decoder_time_grid, scanned
-
-
-class _ParamDense(nn.Module):
-    """Declares a Dense layer's params without applying it (fused path —
-    the tree matches the scanned ``SDEStep`` scopes exactly, so checkpoints
-    interchange between the scan and kernel rollout engines)."""
-
-    in_features: int
-    features: int
-
-    @nn.compact
-    def __call__(self):
-        return {
-            "kernel": self.param("kernel", XAVIER, (self.in_features, self.features)),
-            "bias": self.param("bias", nn.initializers.zeros, (self.features,)),
-        }
-
-
-class _FFuncParams(nn.Module):
-    embed_dim: int
-    num_layers: int = 2
-
-    @nn.compact
-    def __call__(self):
-        D = self.embed_dim
-        out = {"dense0": _ParamDense(D + 2, D, name="dense0")()}
-        for i in range(self.num_layers):
-            out[f"dense{i + 1}"] = _ParamDense(D, D, name=f"dense{i + 1}")()
-        return out
-
-
-class _GFuncParams(nn.Module):
-    embed_dim: int
-    num_layers: int = 2
-
-    @nn.compact
-    def __call__(self):
-        D = self.embed_dim
-        out = {"dense0": _ParamDense(D + 2, D, name="dense0")()}
-        for i in range(self.num_layers - 1):
-            out[f"dense{i + 1}"] = _ParamDense(D, D, name=f"dense{i + 1}")()
-        out["dense_out"] = _ParamDense(D, 1, name="dense_out")()
-        return out
+from trajsde_tpu.models.sde import (
+    FFuncParams,
+    GFuncParams,
+    SDEStep,
+    decoder_time_grid,
+    scanned,
+)
 
 
 class _SDEStepParams(nn.Module):
@@ -70,8 +33,8 @@ class _SDEStepParams(nn.Module):
     @nn.compact
     def __call__(self):
         return {
-            "f_func": _FFuncParams(self.embed_dim, self.sde_layers, name="f_func")(),
-            "g_func": _GFuncParams(self.embed_dim, self.sde_layers, name="g_func")(),
+            "f_func": FFuncParams(self.embed_dim, self.sde_layers, name="f_func")(),
+            "g_func": GFuncParams(self.embed_dim, self.sde_layers, name="g_func")(),
         }
 
 

@@ -24,25 +24,10 @@ from trajsde_tpu.models.layers import (
     EdgeAttention,
     MlpBlock,
     MultiheadSelfAttention,
+    ParamDense as _ParamDense,
 )
 
 TOKEN_INIT = nn.initializers.normal(stddev=0.02)
-
-
-class _ParamDense(nn.Module):
-    """Declares a Dense layer's params without applying it — used by the
-    fused path so its parameter tree is IDENTICAL to the linen path's
-    (same scopes, same initializers), keeping checkpoints interchangeable."""
-
-    in_features: int
-    features: int
-
-    @nn.compact
-    def __call__(self):
-        return {
-            "kernel": self.param("kernel", XAVIER, (self.in_features, self.features)),
-            "bias": self.param("bias", nn.initializers.zeros, (self.features,)),
-        }
 
 
 class _ParamLN(nn.Module):

@@ -145,12 +145,14 @@ def shard_opt_state(opt_state, mesh: Mesh):
     Per-device optimizer memory drops ~(n_data−1)/n_data of the moment
     storage (2× params for Adam).
     """
-    return jax.tree.map(
-        lambda x: jax.device_put(x, zero1_sharding(x, mesh))
+    shardings = jax.tree.map(
+        lambda x: zero1_sharding(x, mesh)
         if hasattr(x, "shape") and getattr(x, "ndim", 0)
-        else x,
+        else replicated(mesh),
         opt_state,
     )
+    # one batched transfer for the whole tree (vs a dispatch per leaf)
+    return jax.device_put(opt_state, shardings)
 
 
 def constrain_modes(x, mesh: Mesh):

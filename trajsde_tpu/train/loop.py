@@ -204,7 +204,12 @@ class Trainer:
         reference) just dies mid-step.  Here the signal sets a flag, the
         step loop finishes the in-flight step, saves an emergency
         checkpoint (kept by the pruner's ``keep_last``), and ``fit``
-        returns cleanly so ``--ckpt`` resume loses at most one step."""
+        returns cleanly so ``--ckpt`` resume loses at most one step.
+
+        A SECOND SIGINT raises ``KeyboardInterrupt`` immediately — the
+        graceful path polls the flag only between steps, so Ctrl-C must
+        stay able to break out of a hung iterator or a minutes-long
+        remote compile."""
         import signal
         import threading
 
@@ -213,6 +218,8 @@ class Trainer:
         previous = {}
 
         def handler(signum, frame):
+            if self._preempted and signum == signal.SIGINT:
+                raise KeyboardInterrupt
             self._preempted = True
 
         for sig in (signal.SIGTERM, signal.SIGINT):
@@ -227,7 +234,9 @@ class Trainer:
         import signal
 
         for sig, old in previous.items():
-            signal.signal(sig, old)
+            # signal.signal returns None when the prior handler was
+            # installed by non-Python code; None is not re-installable
+            signal.signal(sig, signal.SIG_DFL if old is None else old)
 
     def _nfe_logs(self) -> Dict[str, float]:
         """Static function-evaluation counts per forward — the fixed-grid
@@ -259,6 +268,7 @@ class Trainer:
             nfe = self._nfe_logs()
             if nfe:
                 self.logger.log_scalars(step, nfe)
+        self._preempted = False  # stale flag must not abort a resumed fit()
         previous_handlers = self._install_preempt_handlers()
         try:
             for epoch in range(max_epochs):
