@@ -64,8 +64,14 @@ def test_sharded_train_step_matches_unsharded(rng):
         jax.tree_util.tree_flatten_with_path(plain_state.params)[0],
         jax.tree_util.tree_flatten_with_path(sh_new.params)[0],
     ):
+        # rtol: the 8-way psum sums 8 per-shard partials where the unsharded
+        # step sums all 1536 rows in one order; on leaves whose grads are
+        # O(100) sums of near-cancelling LN-backward terms the f32
+        # reassociation noise alone reaches ~1e-4 relative (measured
+        # max 1.1e-4), so the bound is 5e-4 — still 100× below any real
+        # gradient-averaging bug
         np.testing.assert_allclose(
-            np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-6,
+            np.asarray(b), np.asarray(a), rtol=5e-4, atol=1e-6,
             err_msg=jax.tree_util.keystr(path),
         )
 
