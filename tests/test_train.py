@@ -212,3 +212,70 @@ def test_preemption_saves_and_returns(rng, tmp_path):
         max_epochs=1,
     )
     assert int(resumed.step) == 2
+
+
+def test_grad_accumulation_matches_big_batch(rng):
+    """accum_steps=2 over two stacked half-batches must produce the SAME
+    parameters as one step on the concatenated batch: with equal micro
+    sizes the mean of the micro-mean-loss grads IS the full-batch
+    mean-loss grad.  Dropout is 0 so the comparison is exact up to
+    reassociation (SGD ⇒ the param delta is lr·grad)."""
+    from trajsde_tpu.models.aggregator import GlobalInteractor
+    from trajsde_tpu.models.decoders import MLPDecoder
+    from trajsde_tpu.models.local_encoder import LocalEncoder
+    from trajsde_tpu.models.prediction import PredictionModel
+    from tests.test_models_forward import TH, TF, D, K
+
+    model = PredictionModel(
+        encoder=LocalEncoder(historical_steps=TH, embed_dim=D, num_heads=4, dropout=0.0),
+        aggregator=GlobalInteractor(
+            historical_steps=TH, embed_dim=D, num_modes=K, num_heads=4, dropout=0.0
+        ),
+        decoder=MLPDecoder(
+            local_channels=D, global_channels=D, future_steps=TF, num_modes=K
+        ),
+    )
+    full = make_scene_batch(
+        np.random.default_rng(3), batch_size=8, num_actors=6, num_lanes=8, sources=[0, 1]
+    )
+    half = lambda sl: jax.tree.map(lambda x: x[sl], full)
+    micro = jax.tree.map(
+        lambda *xs: jnp.stack(xs), half(slice(0, 4)), half(slice(4, 8))
+    )
+
+    opt = optax.sgd(0.1)
+    state = create_train_state(model, opt, full)
+    step_full = make_train_step(model, opt, [("L2", 1.0, l2_loss)], donate=False)
+    step_acc = make_train_step(
+        model, opt, [("L2", 1.0, l2_loss)], donate=False, accum_steps=2
+    )
+
+    # NOTE: the WTA loss is a masked mean, so the accumulated objective is
+    # the MEAN OF THE MICRO LOSSES (exactly Lightning's
+    # accumulate_grad_batches semantics), which differs from the
+    # full-batch masked mean when micro mask counts differ.  The exact
+    # invariant: with SGD, the accumulated param delta is the average of
+    # the two half-batch deltas.
+    s1, l1 = step_full(state, half(slice(0, 4)))
+    s2, l2 = step_full(state, half(slice(4, 8)))
+    acc_state, acc_logs = step_acc(state, micro)
+
+    np.testing.assert_allclose(
+        float(acc_logs["train/total"]),
+        (float(l1["train/total"]) + float(l2["train/total"])) / 2.0,
+        rtol=1e-5,
+    )
+    for (path, p0), (_, a1), (_, a2), (_, b) in zip(
+        jax.tree_util.tree_flatten_with_path(state.params)[0],
+        jax.tree_util.tree_flatten_with_path(s1.params)[0],
+        jax.tree_util.tree_flatten_with_path(s2.params)[0],
+        jax.tree_util.tree_flatten_with_path(acc_state.params)[0],
+    ):
+        want = np.asarray(p0) + (
+            (np.asarray(a1) - np.asarray(p0)) + (np.asarray(a2) - np.asarray(p0))
+        ) / 2.0
+        np.testing.assert_allclose(
+            np.asarray(b), want, rtol=5e-4, atol=1e-6,
+            err_msg=jax.tree_util.keystr(path),
+        )
+    assert int(acc_state.step) == 1  # k micro batches = ONE optimizer step

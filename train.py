@@ -71,6 +71,14 @@ def main() -> None:
         "replicated step)",
     )
     parser.add_argument(
+        "--accum",
+        type=int,
+        default=1,
+        help="gradient accumulation: K loader batches per optimizer update "
+        "(Lightning accumulate_grad_batches analog) — effective batch "
+        "K*train_batch_size at single-batch activation memory",
+    )
+    parser.add_argument(
         "--prng",
         default="rbg",
         choices=["rbg", "threefry2x32"],
@@ -146,6 +154,7 @@ def main() -> None:
         is_gtabs=(cfg.datamodule.get("val_dataset_args") or {}).get("is_gtabs", True),
         profiler=ProfilerHook(run_dir, args.profile) if args.profile else None,
         log_every=max(1, args.log_every),
+        accum_steps=max(1, args.accum),
     )
     max_epochs = args.epochs or cfg.training.get("max_epochs", 1)
 

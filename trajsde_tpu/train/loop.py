@@ -17,6 +17,7 @@ from typing import Any, Callable, Dict, Iterable, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 from flax import struct
 
@@ -82,6 +83,7 @@ def make_train_step(
     losses: List[Tuple[str, float, Callable]],
     donate: bool = True,
     ts_drop_rate: float = 0.0,
+    accum_steps: int = 1,
 ) -> Callable:
     """Build the jitted train step: grads of the weighted loss sum.
 
@@ -89,6 +91,14 @@ def make_train_step(
     axis automatically (the NCCL-allreduce equivalent, SURVEY §2.9).
     ``ts_drop_rate > 0`` enables the reference's random historical-timestep
     masking regularization (``model_base_mix.py:96-101``).
+
+    ``accum_steps > 1`` enables gradient accumulation (the Lightning
+    ``accumulate_grad_batches`` capability of the reference's L2 layer):
+    the step then expects ``scene`` leaves stacked with a leading micro
+    axis ``[k, ...]`` and runs the micro-batches through a ``lax.scan``
+    accumulating averaged grads — one optimizer update, micro-batch-sized
+    activation memory.  This trains effective batch ``k·B`` where direct
+    ``B=256`` spills HBM (PERF.md B=256 root cause).
     """
 
     def loss_fn(params, scene, sde_key, drop_key):
@@ -110,12 +120,37 @@ def make_train_step(
             logs[f"train/{name}"] = value
         return total, logs
 
+    def grads_of(params, scene, sde_key, drop_key):
+        if accum_steps == 1:
+            return jax.value_and_grad(loss_fn, has_aux=True)(
+                params, scene, sde_key, drop_key
+            )
+
+        def body(carry, micro):
+            acc, i = carry
+            (loss_i, logs_i), g_i = jax.value_and_grad(loss_fn, has_aux=True)(
+                params,
+                micro,
+                jax.random.fold_in(sde_key, i),
+                jax.random.fold_in(drop_key, i),
+            )
+            acc = jax.tree.map(lambda a, b: a + b, acc, g_i)
+            return (acc, i + 1), (loss_i, logs_i)
+
+        zeros = jax.tree.map(jnp.zeros_like, params)
+        (acc, _), (loss_k, logs_k) = jax.lax.scan(
+            body, (zeros, jnp.int32(0)), scene
+        )
+        inv = 1.0 / accum_steps
+        grads = jax.tree.map(lambda g: g * inv, acc)
+        loss = jnp.mean(loss_k)
+        logs = jax.tree.map(jnp.mean, logs_k)
+        return (loss, logs), grads
+
     @partial(jax.jit, donate_argnums=(0,) if donate else ())
     def train_step(state: TrainState, scene: SceneBatch):
         key, sde_key, drop_key = jax.random.split(state.key, 3)
-        (loss, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, scene, sde_key, drop_key
-        )
+        (loss, logs), grads = grads_of(state.params, scene, sde_key, drop_key)
         # failure detection: a non-finite loss/grad step is SKIPPED rather
         # than written into the parameters (the reference has no such
         # guard — SURVEY §5 "failure detection: none")
@@ -191,13 +226,34 @@ class Trainer:
     profiler: Optional[Any] = None  # ProfilerHook — jax.profiler trace window
     log_every: int = 1           # scalar-log cadence (each log syncs the host)
     preempt_signals: bool = True  # SIGTERM/SIGINT → emergency checkpoint + clean return
+    accum_steps: int = 1         # gradient accumulation: k loader batches per
+                                 # optimizer update (Lightning
+                                 # accumulate_grad_batches capability)
 
     def __post_init__(self):
         self.train_step = make_train_step(
-            self.model, self.optimizer, self.losses, ts_drop_rate=self.ts_drop_rate
+            self.model, self.optimizer, self.losses,
+            ts_drop_rate=self.ts_drop_rate, accum_steps=self.accum_steps,
         )
         self.eval_step = make_eval_step(self.model, self.metrics, self.is_gtabs)
         self._preempted = False
+        self._dropped_micro = 0
+
+    def _grouped(self, batches):
+        """Stack ``accum_steps`` consecutive loader batches onto a leading
+        micro axis; a trailing partial group is dropped and counted (no
+        silent caps)."""
+        if self.accum_steps == 1:
+            yield from batches
+            return
+        buf = []
+        for scene in batches:
+            buf.append(scene)
+            if len(buf) == self.accum_steps:
+                yield jax.tree.map(lambda *xs: jnp.stack(xs), *buf)
+                buf.clear()
+        if buf:
+            self._dropped_micro += len(buf)
 
     def _install_preempt_handlers(self):
         """TPU-pod preemption delivers SIGTERM; Lightning (and the
@@ -275,11 +331,12 @@ class Trainer:
                 t0 = time.time()
                 n_steps = 0
                 scenes = 0
-                for scene in device_prefetch(train_batches()):
+                for scene in device_prefetch(self._grouped(train_batches())):
                     state, logs = self.train_step(state, scene)
                     step += 1
                     n_steps += 1
-                    scenes += scene.batch_size
+                    # with accumulation the leading axis is the micro axis
+                    scenes += int(np.prod(scene.x.shape[: 1 + (self.accum_steps > 1)]))
                     if self.profiler is not None:
                         self.profiler.on_step(step)
                     if self.logger is not None and step % self.log_every == 0:
@@ -301,7 +358,12 @@ class Trainer:
                             "epoch": epoch,
                             "perf/steps_per_s": n_steps / max(dt, 1e-9),
                             "perf/scenes_per_s": scenes / max(dt, 1e-9),
-                        },
+                        }
+                        | (
+                            {"train/dropped_micro_batches": float(self._dropped_micro)}
+                            if self._dropped_micro
+                            else {}
+                        ),
                     )
                 if self.checkpointer is not None:
                     self.checkpointer.save(
