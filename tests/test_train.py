@@ -279,3 +279,28 @@ def test_grad_accumulation_matches_big_batch(rng):
             err_msg=jax.tree_util.keystr(path),
         )
     assert int(acc_state.step) == 1  # k micro batches = ONE optimizer step
+
+
+def test_group_microbatches_buckets_and_partials(rng):
+    """Host-side grouping: same-shape batches stack together (bucket-mode
+    loaders emit mixed (A, L) shapes), the trailing partial group still
+    trains, and numpy leaves stack host-side (no device dispatch)."""
+    from trajsde_tpu.train.loop import group_microbatches
+
+    def scene(actors):
+        return make_scene_batch(
+            np.random.default_rng(actors), batch_size=4, num_actors=actors,
+            num_lanes=8, sources=[0, 1],
+        )
+
+    stream = [scene(6), scene(8), scene(6), scene(6)]  # shapes: A=6 ×3, A=8 ×1
+    groups = list(group_microbatches(iter(stream), 2))
+    shapes = sorted(tuple(g.x.shape) for g in groups)
+    # A=6: one full pair + nothing left over... 3 batches → [2,...] + [1,...]
+    # A=8: a single partial [1,...]
+    assert shapes == sorted(
+        [(2, 4, 6) + stream[0].x.shape[2:], (1, 4, 6) + stream[0].x.shape[2:],
+         (1, 4, 8) + stream[1].x.shape[2:]]
+    )
+    total_micro = sum(g.x.shape[0] for g in groups)
+    assert total_micro == len(stream)  # nothing dropped

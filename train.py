@@ -121,7 +121,11 @@ def main() -> None:
         [n for n, _ in cfg.metric_specs],
         [dict(a) for _, a in cfg.metric_specs],
     )
-    optimizer = build_optimizer(cfg.training, steps_per_epoch)
+    # with gradient accumulation the LR schedule advances once per
+    # OPTIMIZER UPDATE, i.e. once per K loader batches (ceil for the
+    # trailing partial group, which still steps)
+    updates_per_epoch = max(1, -(-steps_per_epoch // max(1, args.accum)))
+    optimizer = build_optimizer(cfg.training, updates_per_epoch)
 
     mesh = mesh_lib.make_mesh_for_batch(
         dm_kwargs.get("train_batch_size", dm_kwargs.get("val_batch_size", 1))
@@ -159,8 +163,17 @@ def main() -> None:
     max_epochs = args.epochs or cfg.training.get("max_epochs", 1)
 
     def train_batches():
-        for batch in datamodule.train_loader():
-            yield mesh_lib.shard_batch(batch, mesh)
+        if args.accum > 1:
+            # group HOST-side (numpy np.stack) before the single device
+            # transfer per group — eager per-leaf stacking of sharded
+            # arrays would round-trip the TPU relay per leaf
+            from trajsde_tpu.train.loop import group_microbatches
+
+            for group in group_microbatches(datamodule.train_loader(), args.accum):
+                yield mesh_lib.shard_batch(group, mesh, batch_axis=1)
+        else:
+            for batch in datamodule.train_loader():
+                yield mesh_lib.shard_batch(batch, mesh)
 
     def val_batches():
         for batch in datamodule.val_loader():

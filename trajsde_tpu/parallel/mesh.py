@@ -96,16 +96,23 @@ def mode_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS, MODEL_AXIS))
 
 
-def shard_batch(batch, mesh: Mesh):
+def shard_batch(batch, mesh: Mesh, batch_axis: int = 0):
     """Place every array of a SceneBatch pytree with batch-dim sharding.
 
-    A ragged final batch (size not divisible by the data axis) falls back
-    to replication — correct, just not parallel.
+    ``batch_axis=1`` handles gradient-accumulation groups ``[K, B, ...]``:
+    the leading micro axis is scanned locally, the scene axis shards over
+    ``data``.  A ragged batch (scene axis not divisible by the data axis)
+    falls back to replication — correct, just not parallel.
     """
     leaves = [x for x in jax.tree.leaves(batch) if hasattr(x, "shape") and x.ndim]
     n_data = mesh.shape[DATA_AXIS]
-    divisible = all(x.shape[0] % n_data == 0 for x in leaves)
-    sharding = scene_sharding(mesh) if divisible else replicated(mesh)
+    divisible = all(x.shape[batch_axis] % n_data == 0 for x in leaves)
+    if not divisible:
+        sharding = replicated(mesh)
+    elif batch_axis == 0:
+        sharding = scene_sharding(mesh)
+    else:
+        sharding = NamedSharding(mesh, P(*([None] * batch_axis), DATA_AXIS))
     return jax.tree.map(
         lambda x: jax.device_put(x, sharding) if hasattr(x, "shape") and x.ndim else x,
         batch,

@@ -141,7 +141,9 @@ def make_train_step(
         (acc, _), (loss_k, logs_k) = jax.lax.scan(
             body, (zeros, jnp.int32(0)), scene
         )
-        inv = 1.0 / accum_steps
+        # divide by the group's ACTUAL micro count (a trailing partial
+        # group is a smaller accumulation, not dropped data)
+        inv = 1.0 / jax.tree.leaves(scene)[0].shape[0]
         grads = jax.tree.map(lambda g: g * inv, acc)
         loss = jnp.mean(loss_k)
         logs = jax.tree.map(jnp.mean, logs_k)
@@ -194,6 +196,33 @@ def make_eval_step(model, metrics, is_gtabs: bool = True) -> Callable:
     return eval_step
 
 
+def group_microbatches(batches, k: int):
+    """Stack ``k`` consecutive same-shape batches onto a leading micro axis.
+
+    Host-side grouping for gradient accumulation: numpy leaves stack with
+    ``np.stack`` (one device transfer per GROUP downstream, instead of one
+    eager relay dispatch per leaf).  Batches are buffered per shape, so a
+    bucketing loader's mixed (A, L) shapes group with their own kind.  A
+    trailing partial group still trains as a smaller accumulation
+    (Lightning ``accumulate_grad_batches`` semantics — no data dropped);
+    the grad average divides by the group's ACTUAL size.
+    """
+
+    def stack_group(buf):
+        leaf = jax.tree.leaves(buf[0])[0]
+        stack = np.stack if isinstance(leaf, np.ndarray) else jnp.stack
+        return jax.tree.map(lambda *xs: stack(xs), *buf)
+
+    buffers: Dict[tuple, list] = {}
+    for scene in batches:
+        key = tuple(scene.x.shape)
+        buffers.setdefault(key, []).append(scene)
+        if len(buffers[key]) == k:
+            yield stack_group(buffers.pop(key))
+    for buf in buffers.values():
+        yield stack_group(buf)
+
+
 def device_prefetch(iterator, size: int = 2):
     """Double-buffered host→device pipeline: keep ``size`` batches in
     flight so packing/transfer overlaps device compute (the reference
@@ -237,23 +266,25 @@ class Trainer:
         )
         self.eval_step = make_eval_step(self.model, self.metrics, self.is_gtabs)
         self._preempted = False
-        self._dropped_micro = 0
 
     def _grouped(self, batches):
-        """Stack ``accum_steps`` consecutive loader batches onto a leading
-        micro axis; a trailing partial group is dropped and counted (no
-        silent caps)."""
+        """Route batches through :func:`group_microbatches` unless the data
+        pipeline already grouped them (5-dim ``x`` ⇒ a ``[K, B, ...]``
+        stack, e.g. ``train.py`` groups host-side before sharding)."""
         if self.accum_steps == 1:
             yield from batches
             return
-        buf = []
-        for scene in batches:
-            buf.append(scene)
-            if len(buf) == self.accum_steps:
-                yield jax.tree.map(lambda *xs: jnp.stack(xs), *buf)
-                buf.clear()
-        if buf:
-            self._dropped_micro += len(buf)
+        import itertools
+
+        it = iter(batches)
+        first = next(it, None)
+        if first is None:
+            return
+        stream = itertools.chain([first], it)
+        if first.x.ndim == 5:
+            yield from stream
+        else:
+            yield from group_microbatches(stream, self.accum_steps)
 
     def _install_preempt_handlers(self):
         """TPU-pod preemption delivers SIGTERM; Lightning (and the
@@ -358,12 +389,7 @@ class Trainer:
                             "epoch": epoch,
                             "perf/steps_per_s": n_steps / max(dt, 1e-9),
                             "perf/scenes_per_s": scenes / max(dt, 1e-9),
-                        }
-                        | (
-                            {"train/dropped_micro_batches": float(self._dropped_micro)}
-                            if self._dropped_micro
-                            else {}
-                        ),
+                        },
                     )
                 if self.checkpointer is not None:
                     self.checkpointer.save(
