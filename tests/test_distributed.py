@@ -167,3 +167,35 @@ def test_zero1_optimizer_sharding_matches_replicated(rng):
         if hasattr(x, "sharding") and x.sharding.spec != jax.sharding.PartitionSpec()
     ]
     assert still_sharded, "ZeRO layout lost after one step"
+
+
+def test_accumulated_step_sharded_matches_replicated(rng):
+    """Gradient accumulation under SPMD: a [K, B, ...] group sharded with
+    batch_axis=1 (micro axis scanned locally, scenes over ``data``) must
+    produce the same parameters as the replicated accumulated step."""
+    scene = make_scene_batch(rng, batch_size=8, num_actors=6, num_lanes=8, sources=[0, 1])
+    group = jax.tree.map(lambda x: jnp.stack([x, x]), scene)  # [2, 8, ...]
+    model = make_baseline()
+    opt = optax.sgd(0.1)
+    state = create_train_state(model, opt, scene)
+    step = make_train_step(
+        model, opt, [("L2", 1.0, l2_loss)], donate=False, accum_steps=2
+    )
+
+    plain, _ = step(state, group)
+
+    mesh = mesh_lib.make_mesh(n_data=8, n_model=1)
+    sh_group = mesh_lib.shard_batch(group, mesh, batch_axis=1)
+    leaf = jax.tree.leaves(sh_group)[0]
+    assert not leaf.sharding.is_fully_replicated  # scene axis actually sharded
+    sh_state = jax.device_put(state, mesh_lib.replicated(mesh))
+    sh_new, _ = step(sh_state, sh_group)
+
+    for (path, a), (_, b) in zip(
+        jax.tree_util.tree_flatten_with_path(plain.params)[0],
+        jax.tree_util.tree_flatten_with_path(sh_new.params)[0],
+    ):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=5e-4, atol=1e-6,
+            err_msg=jax.tree_util.keystr(path),
+        )
