@@ -76,3 +76,29 @@ def test_reference_shipped_config_loads_drop_in():
         [n for n, _ in cfg.metric_specs], [dict(a) for _, a in cfg.metric_specs]
     )
     assert [m.name for m in metrics] == ["ADE_T", "FDE_T", "MR_T"]
+
+
+def test_tpu_production_config_builds_bf16_model(rng):
+    """The _tpu config variant is the shipped config + per-component bf16;
+    the model builds and a forward runs with bf16 compute."""
+    import os
+
+    import jax.numpy as jnp
+
+    cfg = load_config(os.path.join(os.path.dirname(SDE_CFG),
+                                   "hivt_nuSArgo_sdesepenc_sdedec_tpu.yml"))
+    model = build_model(cfg)
+    assert model.encoder.dtype == jnp.bfloat16
+    assert model.decoder.dtype == jnp.bfloat16
+    scene = make_scene_batch(rng, batch_size=2, num_actors=6, num_lanes=8)
+    params = jax.jit(model.init)(
+        {"params": jax.random.key(0), "sde": jax.random.key(1)}, scene
+    )
+    # params stay f32 (mixed precision), outputs f32
+    leaf = jax.tree_util.tree_leaves(params["params"])[0]
+    assert leaf.dtype == jnp.float32
+    out = jax.jit(lambda p, s, k: model.apply(p, s, rngs={"sde": k}))(
+        params, scene, jax.random.key(2)
+    )
+    assert out["loc"].dtype == jnp.float32
+    assert np.isfinite(np.asarray(out["loc"])).all()
