@@ -304,3 +304,17 @@ def test_group_microbatches_buckets_and_partials(rng):
     )
     total_micro = sum(g.x.shape[0] for g in groups)
     assert total_micro == len(stream)  # nothing dropped
+
+    # lane buckets vary INDEPENDENTLY of actor buckets: same A, different L
+    # must NOT group together (the key covers every leaf shape)
+    def lane_scene(lanes):
+        return make_scene_batch(
+            np.random.default_rng(lanes), batch_size=4, num_actors=6,
+            num_lanes=lanes, sources=[0, 1],
+        )
+
+    mixed = [lane_scene(8), lane_scene(16), lane_scene(8), lane_scene(16)]
+    lane_groups = list(group_microbatches(iter(mixed), 2))
+    assert sorted(g.lane_positions.shape[:3] for g in lane_groups) == [
+        (2, 4, 8), (2, 4, 16)
+    ]

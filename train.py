@@ -123,7 +123,10 @@ def main() -> None:
     )
     # with gradient accumulation the LR schedule advances once per
     # OPTIMIZER UPDATE, i.e. once per K loader batches (ceil for the
-    # trailing partial group, which still steps)
+    # trailing partial group, which still steps).  Under bucket mode the
+    # per-bucket partial flushes can add a few extra updates per epoch —
+    # the schedule then reaches its floor slightly early, which only
+    # clamps the terminal LR
     updates_per_epoch = max(1, -(-steps_per_epoch // max(1, args.accum)))
     optimizer = build_optimizer(cfg.training, updates_per_epoch)
 

@@ -178,7 +178,8 @@ class SDEGRUStep(nn.Module):
             eps = jax.random.normal(self.make_rng("sde"), h.shape, h.dtype)
             y1 = h + f * dt + g * (jnp.sqrt(dt) * eps)
             h_next = GRUUnit(
-                self.embed_dim, self.embed_dim, dtype=self.dtype, name="gru"
+                self.embed_dim, self.embed_dim, dtype=self.dtype,
+                packed=self.packed, name="gru",
             )(y1, obs, obs_mask)
             return (h_next, nus_mask), (h_next, g[..., 0])
 
@@ -216,9 +217,10 @@ class SDEGRUStep(nn.Module):
             eps = jax.random.normal(self.make_rng("sde"), h.shape, h.dtype)
             y1 = h + f * dt + g * (jnp.sqrt(dt) * eps)
 
-        h_next = GRUUnit(self.embed_dim, self.embed_dim, dtype=self.dtype, name="gru")(
-            y1, obs, obs_mask
-        )
+        h_next = GRUUnit(
+            self.embed_dim, self.embed_dim, dtype=self.dtype,
+            packed=self.packed, name="gru",
+        )(y1, obs, obs_mask)
         return (h_next, nus_mask), (h_next, g[..., 0])
 
 

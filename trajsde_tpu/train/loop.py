@@ -213,9 +213,20 @@ def group_microbatches(batches, k: int):
         stack = np.stack if isinstance(leaf, np.ndarray) else jnp.stack
         return jax.tree.map(lambda *xs: stack(xs), *buf)
 
+    def shape_key(scene):
+        # EVERY leaf shape: the bucketing loader picks actor and lane
+        # buckets independently, so x.shape alone would group mixed-L
+        # batches together and crash the stack
+        return tuple(
+            getattr(x, "shape", None) for x in jax.tree.leaves(scene)
+        )
+
+    # NOTE: each distinct (shape, group-size) pair compiles its own train
+    # step — partial trailing groups add at most one K'<K executable per
+    # bucket, compiled once and reused every epoch thereafter
     buffers: Dict[tuple, list] = {}
     for scene in batches:
-        key = tuple(scene.x.shape)
+        key = shape_key(scene)
         buffers.setdefault(key, []).append(scene)
         if len(buffers[key]) == k:
             yield stack_group(buffers.pop(key))
@@ -257,7 +268,12 @@ class Trainer:
     preempt_signals: bool = True  # SIGTERM/SIGINT → emergency checkpoint + clean return
     accum_steps: int = 1         # gradient accumulation: k loader batches per
                                  # optimizer update (Lightning
-                                 # accumulate_grad_batches capability)
+                                 # accumulate_grad_batches capability).
+                                 # Feed HOST batches (grouping np.stacks
+                                 # before the device transfer, as train.py
+                                 # does); pre-sharded device streams fall
+                                 # back to eager jnp.stack, which round-trips
+                                 # the TPU relay per leaf and drops sharding
 
     def __post_init__(self):
         self.train_step = make_train_step(
