@@ -199,3 +199,28 @@ def test_accumulated_step_sharded_matches_replicated(rng):
             np.asarray(b), np.asarray(a), rtol=5e-4, atol=1e-6,
             err_msg=jax.tree_util.keystr(path),
         )
+
+
+def test_async_checkpoint_round_trip(tmp_path):
+    """async_save overlaps the orbax write; restore/next-save wait for the
+    in-flight write, and pruning never deletes an unfinished checkpoint."""
+    from trajsde_tpu.train.checkpoint import CheckpointManager
+
+    mgr = CheckpointManager(str(tmp_path), save_top_k=2, mode="min", async_save=True)
+    state = TrainState(
+        params={"w": jnp.arange(4.0)}, opt_state={}, step=jnp.int32(0),
+        key=jax.random.key(0),
+    )
+    for step, metric in [(1, 5.0), (2, 3.0), (3, 1.0)]:
+        mgr.save(state.replace(step=jnp.int32(step)), metric=metric, step=step)
+    mgr.wait()
+    best = mgr.best()
+    assert best["metric"] == 1.0
+    restored = mgr.restore(state, path=best["path"])
+    assert int(restored.step) == 3
+    np.testing.assert_array_equal(np.asarray(restored.params["w"]), np.arange(4.0))
+    # pruned entry's directory is gone, kept ones exist
+    import os
+    kept = {e["step"] for e in mgr._board}
+    assert kept == {2, 3}
+    assert not os.path.exists(str(tmp_path / "step_00000001"))

@@ -71,6 +71,13 @@ def main() -> None:
         "replicated step)",
     )
     parser.add_argument(
+        "--async-ckpt",
+        action="store_true",
+        help="overlap orbax checkpoint writes with the next epoch's "
+        "training (the wait moves to the next save; preemption saves "
+        "stay synchronous)",
+    )
+    parser.add_argument(
         "--accum",
         type=int,
         default=1,
@@ -142,7 +149,9 @@ def main() -> None:
             opt_state=mesh_lib.shard_opt_state(state.opt_state, mesh)
         )
 
-    checkpointer = CheckpointManager(os.path.join(run_dir, "checkpoints"))
+    checkpointer = CheckpointManager(
+        os.path.join(run_dir, "checkpoints"), async_save=args.async_ckpt
+    )
     if args.ckpt:
         state = checkpointer.restore(state, args.ckpt)
     elif args.wonly:

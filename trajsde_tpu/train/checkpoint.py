@@ -23,11 +23,16 @@ class CheckpointManager:
         save_top_k: int = 5,
         mode: str = "min",
         keep_last: bool = True,
+        async_save: bool = False,
     ):
         self.directory = os.path.abspath(directory)
         os.makedirs(self.directory, exist_ok=True)
         self.save_top_k = save_top_k
         self.mode = mode
+        # async_save=True overlaps the orbax write with the next epoch's
+        # training; the wait moves to the NEXT save (or an explicit
+        # ``wait()``).  Emergency preemption saves pass ``wait=True``.
+        self.async_save = async_save
         self.keep_last = keep_last
         self._ckptr = ocp.StandardCheckpointer()
         self._board_path = os.path.join(self.directory, "leaderboard.json")
@@ -46,14 +51,24 @@ class CheckpointManager:
     def _path(self, step: int) -> str:
         return os.path.join(self.directory, f"step_{step:08d}")
 
-    def save(self, state: Any, metric: Optional[float], step: int) -> None:
+    def save(
+        self, state: Any, metric: Optional[float], step: int, wait: bool = False
+    ) -> None:
         path = self._path(step)
         if not os.path.exists(path):
-            self._ckptr.save(path, state)
+            # any in-flight async write must land before a new one starts
+            # (and before pruning may delete its directory)
             self._ckptr.wait_until_finished()
+            self._ckptr.save(path, state)
+            if wait or not self.async_save:
+                self._ckptr.wait_until_finished()
         self._board.append({"step": step, "metric": metric, "path": path})
         self._prune()
         self._write_board()
+
+    def wait(self) -> None:
+        """Block until any in-flight async save has landed."""
+        self._ckptr.wait_until_finished()
 
     def _prune(self) -> None:
         scored = [e for e in self._board if e["metric"] is not None]
@@ -81,6 +96,7 @@ class CheckpointManager:
 
     def restore(self, target: Any, path: Optional[str] = None) -> Any:
         """Full-state restore (``trainer.fit(ckpt_path=...)`` analog)."""
+        self._ckptr.wait_until_finished()  # async save of this path may be in flight
         if path is None:
             entry = self.latest()
             if entry is None:

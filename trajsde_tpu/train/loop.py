@@ -390,7 +390,10 @@ class Trainer:
                         self.logger.log_scalars(step, logs)
                     if self._preempted:
                         if self.checkpointer is not None:
-                            self.checkpointer.save(state, metric=None, step=step)
+                            # synchronous: the process is about to die
+                            self.checkpointer.save(
+                                state, metric=None, step=step, wait=True
+                            )
                         if self.logger is not None:
                             self.logger.log_scalars(step, {"preempted": 1.0})
                         return state
@@ -415,6 +418,8 @@ class Trainer:
             self._restore_handlers(previous_handlers)
             if self.profiler is not None:
                 self.profiler.stop()
+            if self.checkpointer is not None and hasattr(self.checkpointer, "wait"):
+                self.checkpointer.wait()  # land any in-flight async save
         return state
 
     def evaluate(self, state: TrainState, batches) -> Dict[str, float]:
