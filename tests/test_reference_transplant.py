@@ -21,6 +21,10 @@ their ``message``/``update`` code executes verbatim:
 * AAEncoder (ragged per-step subgraphs)         — ``enc_hivt_nusargo_grid.py:95-215``
 * ALEncoder (lane→actor cross attention)        — ``enc_hivt_nusargo_grid.py:294-398``
 * GlobalInteractor (full aggregator forward)    — ``agg_hivt.py:18-135``
+* L2 / DiffBCE / LaplaceNLL losses              — ``losses/*.py`` (executed; caught a
+  real 2× Laplace-reduction bug in this repo)
+* ADE_T / FDE_T / MR_T metrics (both datasets)  — ``metrics/*.py`` (torchmetrics
+  ``Metric`` stubbed to a state bag; update/compute run verbatim)
 """
 import importlib
 import os
@@ -655,3 +659,120 @@ def test_global_interactor_transplant(rng):
 
     out = ref(_Data(), torch.from_numpy(local[0]))
     allclose(out, got, tol=5e-5)
+
+
+# ---------------------------------------------------------------------------
+# 9. Losses — the reference's loss modules executed verbatim
+#    (``losses/L2.py``, ``losses/diff_BCE.py``, ``losses/laplace_nll_loss.py``)
+# ---------------------------------------------------------------------------
+def test_losses_transplant(rng):
+    from trajsde_tpu.losses import diff_bce_loss, l2_loss, laplace_nll_loss
+
+    l2_ref = _ref("losses.L2")
+    bce_ref = _ref("losses.diff_BCE")
+    lap_ref = _ref("losses.laplace_nll_loss")
+
+    F, N, T = 3, 6, 8
+    loc = rng.normal(size=(F, N, T, 2)).astype(np.float32)
+    scale = rng.uniform(0.5, 2.0, size=(F, N, T, 2)).astype(np.float32)
+    loc4 = np.concatenate([loc, scale], -1)
+    y = rng.normal(size=(N, T, 2)).astype(np.float32)
+    reg = rng.uniform(size=(N, T)) < 0.7
+    reg[0] = True
+
+    data = {"y": torch.from_numpy(y)}
+    out_t = {"loc": torch.from_numpy(loc4), "reg_mask": torch.from_numpy(reg)}
+    out_j = {
+        "loc": jnp.asarray(loc4)[None],
+        "reg_mask": jnp.asarray(reg)[None],
+    }
+    y_j = jnp.asarray(y)[None]
+
+    np.testing.assert_allclose(
+        float(l2_ref.L2()(data, out_t)), float(l2_loss(y_j, out_j)), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        float(lap_ref.LaplaceNLLLoss()(data, out_t)),
+        float(laplace_nll_loss(y_j, out_j)),
+        rtol=1e-5,
+    )
+
+    p_in = rng.uniform(0.05, 0.95, size=N).astype(np.float32)
+    p_out = rng.uniform(0.05, 0.95, size=N).astype(np.float32)
+    bce_out_t = {
+        "diff_in": torch.from_numpy(p_in), "diff_out": torch.from_numpy(p_out),
+        "label_in": torch.zeros(N), "label_out": torch.ones(N),
+    }
+    bce_out_j = {
+        "diff_in": jnp.asarray(p_in), "diff_out": jnp.asarray(p_out),
+        "label_in": jnp.zeros(N), "label_out": jnp.ones(N),
+    }
+    np.testing.assert_allclose(
+        float(bce_ref.DiffBCE()(data, bce_out_t)),
+        float(diff_bce_loss(y_j, bce_out_j)),
+        rtol=1e-5,
+    )
+
+
+# ---------------------------------------------------------------------------
+# 10. Metrics — the reference's torchmetrics classes executed verbatim (the
+#     per-source best-mode / end-index rules, ``metrics/{ade,fde,mr}_t.py``).
+#     The batch is SORTED by source, where the reference's
+#     ``repeat_interleave`` rule and this repo's per-row rule coincide
+#     (PARITY.md "Known deviations").
+# ---------------------------------------------------------------------------
+def test_metrics_transplant(rng):
+    from trajsde_tpu.train.metrics import make_metrics
+
+    if "torchmetrics" not in sys.modules:
+        class _Metric(torch.nn.Module):
+            def __init__(self, **kw):
+                super().__init__()
+
+            def add_state(self, name, default, dist_reduce_fx=None):
+                setattr(self, name, default)
+
+        _mod("torchmetrics", Metric=_Metric)
+
+    ade_ref = _ref("metrics.ade_t")
+    fde_ref = _ref("metrics.fde_t")
+    mr_ref = _ref("metrics.mr_t")
+
+    K, NA, TS = 4, 6, 60
+    end_idcs = [59, 29]
+    pred = rng.normal(0, 3, size=(NA, K, TS, 2)).astype(np.float32)
+    target = rng.normal(0, 3, size=(NA, TS, 2)).astype(np.float32)
+    reg = rng.uniform(size=(NA, TS)) < 0.8
+    reg[:, end_idcs[0]] = True
+    reg[:, end_idcs[1]] = True
+    source = np.array([0, 0, 0, 1, 1, 1], np.int32)  # sorted by source
+
+    pred_t = torch.from_numpy(np.transpose(pred, (1, 0, 2, 3)))  # [K, NA, TS, 2]
+    targ_t = torch.from_numpy(target)
+    reg_t = torch.from_numpy(reg)
+    src_t = torch.from_numpy(source)
+
+    for dataset in ("nuScenes", "Argoverse"):
+        mine = make_metrics(
+            ["ADE_T", "FDE_T", "MR_T"],
+            [{"dataset": dataset, "end_idcs": end_idcs}] * 3,
+        )
+        contribs = {
+            m.name: m.update_fn(
+                jnp.asarray(pred), jnp.asarray(target), jnp.asarray(reg),
+                jnp.asarray(source),
+            )
+            for m in mine
+        }
+        refs = {
+            "ADE_T": ade_ref.ADE_T(dataset=dataset, end_idcs=end_idcs),
+            "FDE_T": fde_ref.FDE_T(dataset=dataset, end_idcs=end_idcs),
+            "MR_T": mr_ref.MR_T(dataset=dataset, end_idcs=end_idcs),
+        }
+        for name, ref in refs.items():
+            ref.update(pred_t, targ_t, reg_t, src_t)
+            np.testing.assert_allclose(
+                float(contribs[name][0]), float(ref.sum), rtol=1e-5,
+                err_msg=f"{name}/{dataset} sum",
+            )
+            assert int(contribs[name][1]) == int(ref.count), f"{name}/{dataset} count"

@@ -65,7 +65,11 @@ def laplace_nll_loss(scene_y: jax.Array, output: Dict[str, jax.Array]) -> jax.Ar
     scale_b = jnp.maximum(jax.lax.stop_gradient(scale_b) * 0 + scale_b, _EPS)
     nll = jnp.log(2.0 * scale_b) + jnp.abs(scene_y - loc_b) / scale_b
     m = reg_mask[..., None].astype(nll.dtype)
-    return jnp.sum(nll * m) / jnp.maximum(jnp.sum(m), 1.0)
+    # reference reduction is ``nll[reg_mask].mean()`` — a mean over
+    # count × 2 coordinate channels (``laplace_nll_loss.py:44-45``); the
+    # denominator must count the broadcast channels too
+    denom = jnp.sum(m) * nll.shape[-1]
+    return jnp.sum(nll * m) / jnp.maximum(denom, 1.0)
 
 
 LOSS_REGISTRY = {
