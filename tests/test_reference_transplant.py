@@ -25,6 +25,9 @@ their ``message``/``update`` code executes verbatim:
   real 2× Laplace-reduction bug in this repo)
 * ADE_T / FDE_T / MR_T metrics (both datasets)  — ``metrics/*.py`` (torchmetrics
   ``Metric`` stubbed to a state bag; update/compute run verbatim)
+* SDEDecoder (full rollout forward)             — ``dec_hivt_nusargo_sde.py:14-105``
+  (the ``sdeint`` injected is one fixed-grid Euler step per segment —
+  the shipped grid's dt — with the diffusion head zeroed on both sides)
 """
 import importlib
 import os
@@ -153,7 +156,21 @@ def _install_stubs():
             self.noise_type = noise_type
             self.sde_type = "ito"
 
-    ts = _mod("torchsde", SDEIto=_SDEIto, sdeint=None, sdeint_adjoint=None)
+    def euler_sdeint(sde, y0, ts_grid, **kw):
+        """Fixed-grid Euler–Maruyama over the given time grid (one step per
+        segment — the shipped decoder grid has dt == segment length).  Used
+        to EXECUTE the reference SDEDecoder.forward; tests zero the
+        diffusion head, so the (omitted) noise term is exactly negligible."""
+        ys = [y0]
+        y = y0
+        for i in range(len(ts_grid) - 1):
+            t0 = ts_grid[i]
+            dt = ts_grid[i + 1] - ts_grid[i]
+            y = y + sde.f(t0, y) * dt
+            ys.append(y)
+        return torch.stack(ys)
+
+    ts = _mod("torchsde", SDEIto=_SDEIto, sdeint=euler_sdeint, sdeint_adjoint=None)
     ts._core = _mod("torchsde._core")
     ts._core.base_sde = _mod(
         "torchsde._core.base_sde",
@@ -776,3 +793,76 @@ def test_metrics_transplant(rng):
                 err_msg=f"{name}/{dataset} sum",
             )
             assert int(contribs[name][1]) == int(ref.count), f"{name}/{dataset} count"
+
+
+# ---------------------------------------------------------------------------
+# 11. SDEDecoder — the reference's rollout decoder executed verbatim
+#     (``dec_hivt_nusargo_sde.py:14-105``; the injected ``sdeint`` stub is
+#     one fixed-grid Euler step per segment, identical to the shipped
+#     grid's dt == segment length; the diffusion head is zeroed on both
+#     sides so the comparison is deterministic)
+# ---------------------------------------------------------------------------
+def test_sde_decoder_transplant(rng):
+    from trajsde_tpu.models.decoders import SDEDecoder
+    from test_reference_oracle import _tiny_scene
+
+    dec_ref_mod = _ref("models.decoders.dec_hivt_nusargo_sde")
+    A, D, F, Tf = 3, 16, 2, 8
+    scene = _tiny_scene(rng, A=A, Th=5, Tf=Tf)
+    local = rng.normal(size=(1, A, D)).astype(np.float32)
+    glob = rng.normal(size=(1, F, A, D)).astype(np.float32)
+
+    mine = SDEDecoder(
+        local_channels=D, global_channels=D, future_steps=Tf, num_modes=F,
+        max_fut_t=2.0,
+    )
+    variables = mine.init(
+        {"params": jax.random.key(0), "sde": jax.random.key(1)},
+        scene, jnp.asarray(local), jnp.asarray(glob),
+    )
+    params = jax.device_get(variables["params"])
+    head = params["sde_rollout"]["g_func"]["dense_out"]
+    head["kernel"] = jnp.zeros_like(head["kernel"])
+    head["bias"] = jnp.full_like(head["bias"], -40.0)  # sigmoid → ~0 diffusion
+    out = mine.apply(
+        {"params": params}, scene, jnp.asarray(local), jnp.asarray(glob),
+        rngs={"sde": jax.random.key(2)},
+    )
+
+    ref = dec_ref_mod.SDEDecoder(
+        local_channels=D, global_channels=D, future_steps=Tf, num_modes=F,
+        max_fut_t=2.0, uncertain=True, min_scale=1e-3, min_stepsize=0.25,
+        method="euler", rtol=1e-3, atol=1e-3, ode_func_layers=3,
+    ).eval()
+    with torch.no_grad():
+        set_linear(ref.aggr_embed[0], params["aggr_dense"])
+        set_ln(ref.aggr_embed[1], params["aggr_ln"])
+        fp = params["sde_rollout"]["f_func"]
+        for i, idx in enumerate((0, 2, 4)):
+            set_linear(ref.lsde_func.f_func.net[idx], fp[f"dense{i}"])
+        gp = params["sde_rollout"]["g_func"]
+        g_net = ref.lsde_func.g_func.net
+        set_linear(g_net[0], gp["dense0"])
+        set_linear(g_net[2], gp["dense1"])
+        set_linear(g_net[4], gp["dense_out"])  # zeroed head transplanted too
+        set_linear(ref.decoder[0], params["loc_layers_0"])
+        set_ln(ref.decoder[1], params["loc_layers_1"])
+        set_linear(ref.decoder[3], params["loc_layers_2"])
+        set_linear(ref.scale[0], params["scale_layers_0"])
+        set_ln(ref.scale[1], params["scale_layers_1"])
+        set_linear(ref.scale[3], params["scale_layers_2"])
+        set_linear(ref.pi[0], params["pi_layers_0"])
+        set_ln(ref.pi[1], params["pi_layers_1"])
+        set_linear(ref.pi[3], params["pi_layers_2"])
+
+    data = {"padding_mask": torch.from_numpy(np.asarray(scene.padding_mask)[0])}
+    ref_out = ref(
+        data,
+        torch.from_numpy(local[0]),
+        torch.from_numpy(np.broadcast_to(glob[0], (F, A, D)).copy()),
+    )
+    allclose(ref_out["loc"], out["loc"][0], tol=1e-4)
+    allclose(ref_out["pi"], out["pi"][0], tol=5e-5)
+    np.testing.assert_array_equal(
+        ref_out["reg_mask"].numpy(), np.asarray(out["reg_mask"])[0]
+    )
