@@ -28,6 +28,9 @@ their ``message``/``update`` code executes verbatim:
 * SDEDecoder (full rollout forward)             — ``dec_hivt_nusargo_sde.py:14-105``
   (the ``sdeint`` injected is one fixed-grid Euler step per segment —
   the shipped grid's dt — with the diffusion head zeroed on both sides)
+* LocalEncoderSDESepPara2 (the paper's full encoder forward: twins,
+  per-step subgraphs, parallel AA mega-batch, backwards ODE-RNN + GRU,
+  eos gather, AL)                               — ``enc_hivt_nusargo_sde_sep2.py:66-202``
 """
 import importlib
 import os
@@ -122,10 +125,34 @@ def _install_stubs():
             upd_names = list(inspect.signature(self.update).parameters)
             return self.update(agg, *[resolve(n) for n in upd_names[1:]])
 
+    class _Data:
+        """PyG ``Data`` stand-in: an attribute bag (the reference builds
+        per-timestep snapshot Data objects in the SDE encoder)."""
+
+        def __init__(self, **kw):
+            self.__dict__.update(kw)
+
+    class _Batch:
+        """PyG ``Batch.from_data_list``: concatenate node features and
+        offset edge indices by cumulative node counts."""
+
+        @staticmethod
+        def from_data_list(datas):
+            offset = 0
+            xs, eis, eas = [], [], []
+            for d in datas:
+                xs.append(d.x)
+                eis.append(d.edge_index + offset)
+                eas.append(d.edge_attr)
+                offset += d.num_nodes
+            return _Data(
+                x=torch.cat(xs),
+                edge_index=torch.cat(eis, dim=1),
+                edge_attr=torch.cat(eas),
+            )
+
     tg = _mod("torch_geometric")
-    tg.data = _mod(
-        "torch_geometric.data", Data=type("Data", (), {}), Batch=type("Batch", (), {})
-    )
+    tg.data = _mod("torch_geometric.data", Data=_Data, Batch=_Batch)
     tg.nn = _mod("torch_geometric.nn")
     tg.nn.conv = _mod("torch_geometric.nn.conv", MessagePassing=_MessagePassing)
     tg.typing = _mod("torch_geometric.typing", Adj=object, OptTensor=object, Size=object)
@@ -866,3 +893,153 @@ def test_sde_decoder_transplant(rng):
     np.testing.assert_array_equal(
         ref_out["reg_mask"].numpy(), np.asarray(out["reg_mask"])[0]
     )
+
+
+# ---------------------------------------------------------------------------
+# 12. LocalEncoderSDESepPara2 — the paper's contribution executed verbatim
+#     (``enc_hivt_nusargo_sde_sep2.py:66-202``): twin construction, per-step
+#     subgraphs + DistanceDropEdge, parallel AA over the PyG mega-batch,
+#     backwards ODE-RNN with GRU fusion, eos gather, AL attention.  The
+#     injected ``sdeint_dual`` is one Euler step per segment (= the shipped
+#     fixed grid); diffusion heads are zeroed on BOTH sides, and the
+#     perturbed twin is receive-only, so the real-actor outputs are
+#     deterministic and noise-independent.
+# ---------------------------------------------------------------------------
+def test_sde_encoder_transplant(rng):
+    from trajsde_tpu.models import graph
+    from trajsde_tpu.models.sde_encoder import LocalEncoderSDESep
+    from test_reference_oracle import _tiny_scene
+
+    enc_mod = _ref("models.encoders.enc_hivt_nusargo_sde_sep2")
+
+    def euler_dual(sde, y0, ts2, nus_mask, dt=None, **kw):
+        t0 = ts2[0]
+        span = ts2[1] - ts2[0]
+        f = sde.f(t0, y0)
+        g = sde.g(t0, y0, nus_mask)   # ≈0 (zeroed head) ⇒ noise term vanishes
+        y1 = y0 + f * span
+        return torch.stack([y0, y1]), g
+
+    enc_mod.sdeint_dual = euler_dual
+
+    A, Th, D, H, radius = 3, 5, 16, 4, 60.0
+    scene = _tiny_scene(rng, A=A, Th=Th)
+    mine = LocalEncoderSDESep(
+        historical_steps=Th, embed_dim=D, num_heads=H, ref_time=Th - 1,
+        max_past_t=0.4, minimum_step=0.1, local_radius=radius,
+    )
+    variables = mine.init(
+        {"params": jax.random.key(0), "sde": jax.random.key(1)}, scene
+    )
+    params = jax.device_get(variables["params"])
+    for g_name in ("g_nus", "g_argo"):
+        head = params["sde_rnn"][g_name]["dense_out"]
+        head["kernel"] = jnp.zeros_like(head["kernel"])
+        head["bias"] = jnp.full_like(head["bias"], -40.0)
+    out_j, diff_in_j, diff_out_j, _, _ = mine.apply(
+        {"params": params}, scene, rngs={"sde": jax.random.key(2)}
+    )
+
+    ref = enc_mod.LocalEncoderSDESepPara2(
+        historical_steps=Th, embed_dim=D, num_heads=H, dropout=0.1,
+        local_radius=radius, node_dim=2, edge_dim=2, parallel=True,
+        ref_time=Th - 1, max_past_t=0.4, minimum_step=0.1,
+        run_backwards=True, sde_layers=2, method="euler",
+        rtol=1e-3, atol=1e-3, input_diff=True,
+    ).eval()
+    with torch.no_grad():
+        aa = params["aa_encoder"]
+        ref.aa_encoder.bos_token.copy_(T(aa["bos_token"]))
+        set_single_embed(ref.aa_encoder.center_embed.embed, aa["center_embed"])
+        set_multi_embed(ref.aa_encoder.nbr_embed, aa["nbr_embed"])
+        for n in ("lin_q", "lin_k", "lin_v", "lin_ih", "lin_hh", "lin_self", "out_proj"):
+            set_linear(getattr(ref.aa_encoder, n), aa["attn"][n])
+        set_ln(ref.aa_encoder.norm1, aa["norm1"])
+        set_ln(ref.aa_encoder.norm2, aa["norm2"])
+        set_mlp_block(ref.aa_encoder.mlp, aa["mlp"])
+
+        gru = params["sde_rnn"]["gru"]
+        for gate, seq in (
+            ("update_gate", ref.gru_unit.update_gate),
+            ("reset_gate", ref.gru_unit.reset_gate),
+            ("new_state", ref.gru_unit.new_state_net),
+        ):
+            set_linear(seq[0], gru[f"{gate}_0"])
+            set_linear(seq[2], gru[f"{gate}_1"])
+
+        fp = params["sde_rnn"]["f_func"]
+        for i, idx in enumerate((0, 2, 4)):
+            set_linear(ref.lsde_func.f_func.net[idx], fp[f"dense{i}"])
+        for gname, gmod in (("g_nus", ref.lsde_func.g_nus), ("g_argo", ref.lsde_func.g_argo)):
+            gp = params["sde_rnn"][gname]
+            set_linear(gmod.net[0], gp["dense0"])
+            set_linear(gmod.net[2], gp["dense1"])
+            set_linear(gmod.net[4], gp["dense_out"])
+
+        al = params["al_encoder"]
+        set_multi_embed(ref.al_encoder.lane_embed, al["lane_embed"])
+        for n in ("lin_q", "lin_k", "lin_v", "lin_ih", "lin_hh", "lin_self", "out_proj"):
+            set_linear(getattr(ref.al_encoder, n), al["attn"][n])
+        set_ln(ref.al_encoder.norm1, al["norm1"])
+        set_ln(ref.al_encoder.norm2, al["norm2"])
+        set_mlp_block(ref.al_encoder.mlp, al["mlp"])
+
+        ref.hidden.copy_(T(params["hidden"]))
+
+    # ---- build the reference's TemporalData-like input from the same scene
+    class _TData:
+        def __init__(self, d):
+            self._d = d
+            self.__dict__.update(d)
+
+        def __getitem__(self, k):
+            return self._d[k]
+
+        def __setitem__(self, k, v):
+            self._d[k] = v
+
+    angles = np.asarray(scene.rotate_angles)[0]
+    c, s = np.cos(angles), np.sin(angles)
+    R = np.stack([np.stack([c, -s], -1), np.stack([s, c], -1)], -2).astype(np.float32)
+    ei = torch.tensor(
+        [[j, i] for i in range(A) for j in range(A) if i != j], dtype=torch.long
+    ).t()
+    al_mask, al_vec = jax.device_get(
+        graph.al_edges(scene, Th - 1, radius)
+    )
+    al_src, al_dst, al_vecs = [], [], []
+    L = al_mask.shape[2]
+    for i in range(A):
+        for j in range(L):
+            if al_mask[0, i, j]:
+                al_src.append(j)
+                al_dst.append(i)
+                al_vecs.append(al_vec[0, i, j])
+
+    data = _TData({
+        "x": torch.from_numpy(np.asarray(scene.x)[0]),
+        "positions": torch.from_numpy(np.asarray(scene.positions)[0]),
+        "padding_mask": torch.from_numpy(np.asarray(scene.padding_mask)[0]),
+        "bos_mask": torch.from_numpy(np.asarray(scene.bos_mask)[0]),
+        "rotate_mat": torch.from_numpy(R),
+        "agent_index": torch.tensor([0], dtype=torch.long),
+        "source": torch.tensor([0], dtype=torch.long),
+        "batch": torch.zeros(A, dtype=torch.long),
+        "edge_index": ei,
+        "num_nodes": A,
+        "lane_positions": torch.from_numpy(np.asarray(scene.lane_positions)[0]),
+        "lane_paddings": torch.from_numpy(
+            np.asarray(scene.lane_paddings)[0].astype(np.float32)
+        ),
+        "lane_actor_index": torch.tensor([al_src, al_dst], dtype=torch.long),
+        "lane_actor_vectors": torch.from_numpy(
+            np.asarray(al_vecs, np.float32).reshape(len(al_src), 2)
+        ),
+    })
+
+    with torch.no_grad():
+        out_t, d_in, d_out, _, _ = ref(data)
+
+    assert float(d_in.abs().max()) < 1e-8 and float(d_out.abs().max()) < 1e-8
+    assert float(np.abs(np.asarray(diff_in_j)).max()) < 1e-8
+    allclose(out_t, out_j[0], tol=5e-4)
