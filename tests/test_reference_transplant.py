@@ -31,6 +31,8 @@ their ``message``/``update`` code executes verbatim:
 * LocalEncoderSDESepPara2 (the paper's full encoder forward: twins,
   per-step subgraphs, parallel AA mega-batch, backwards ODE-RNN + GRU,
   eos gather, AL)                               — ``enc_hivt_nusargo_sde_sep2.py:66-202``
+* forward_ood (zeros-init, no-twin 10-run ensemble, mean → AL, std
+  score)                                        — ``enc_hivt_nusargo_sde_sep2.py:204-318``
 """
 import importlib
 import os
@@ -1042,4 +1044,142 @@ def test_sde_encoder_transplant(rng):
 
     assert float(d_in.abs().max()) < 1e-8 and float(d_out.abs().max()) < 1e-8
     assert float(np.abs(np.asarray(diff_in_j)).max()) < 1e-8
+    allclose(out_t, out_j[0], tol=5e-4)
+
+
+# ---------------------------------------------------------------------------
+# 13. forward_ood — the reference's OOD ensemble driver executed verbatim
+#     (``enc_hivt_nusargo_sde_sep2.py:204-318``): zeros-init hidden, no
+#     twins, 10 re-runs, mean embedding → AL, per-actor std score.  With
+#     the diffusion heads zeroed the runs are identical (std exactly 0),
+#     making the mean path deterministic on both sides.
+# ---------------------------------------------------------------------------
+def test_sde_encoder_ood_transplant(rng):
+    from trajsde_tpu.models import graph
+    from trajsde_tpu.models.sde_encoder import LocalEncoderSDESep
+    from test_reference_oracle import _tiny_scene
+
+    enc_mod = _ref("models.encoders.enc_hivt_nusargo_sde_sep2")
+
+    def euler_dual(sde, y0, ts2, nus_mask, dt=None, **kw):
+        t0 = ts2[0]
+        span = ts2[1] - ts2[0]
+        f = sde.f(t0, y0)
+        g = sde.g(t0, y0, nus_mask)
+        return torch.stack([y0, y0 + f * span]), g
+
+    enc_mod.sdeint_dual = euler_dual
+
+    A, Th, D, H, radius = 3, 5, 16, 4, 60.0
+    scene = _tiny_scene(rng, A=A, Th=Th)
+    mine = LocalEncoderSDESep(
+        historical_steps=Th, embed_dim=D, num_heads=H, ref_time=Th - 1,
+        max_past_t=0.4, minimum_step=0.1, local_radius=radius,
+    )
+    variables = mine.init(
+        {"params": jax.random.key(0), "sde": jax.random.key(1)}, scene
+    )
+    params = jax.device_get(variables["params"])
+    for g_name in ("g_nus", "g_argo"):
+        head = params["sde_rnn"][g_name]["dense_out"]
+        head["kernel"] = jnp.zeros_like(head["kernel"])
+        head["bias"] = jnp.full_like(head["bias"], -40.0)
+    out_j, std_j = mine.apply(
+        {"params": params}, scene, rngs={"sde": jax.random.key(2)},
+        method="forward_ood",
+    )
+    assert float(np.asarray(std_j).max()) < 1e-6  # identical ensemble members
+
+    ref = enc_mod.LocalEncoderSDESepPara2(
+        historical_steps=Th, embed_dim=D, num_heads=H, dropout=0.1,
+        local_radius=radius, node_dim=2, edge_dim=2, parallel=True,
+        ref_time=Th - 1, max_past_t=0.4, minimum_step=0.1,
+        run_backwards=True, sde_layers=2, method="euler",
+        rtol=1e-3, atol=1e-3, input_diff=True,
+    ).eval()
+    with torch.no_grad():
+        aa = params["aa_encoder"]
+        ref.aa_encoder.bos_token.copy_(T(aa["bos_token"]))
+        set_single_embed(ref.aa_encoder.center_embed.embed, aa["center_embed"])
+        set_multi_embed(ref.aa_encoder.nbr_embed, aa["nbr_embed"])
+        for n in ("lin_q", "lin_k", "lin_v", "lin_ih", "lin_hh", "lin_self", "out_proj"):
+            set_linear(getattr(ref.aa_encoder, n), aa["attn"][n])
+        set_ln(ref.aa_encoder.norm1, aa["norm1"])
+        set_ln(ref.aa_encoder.norm2, aa["norm2"])
+        set_mlp_block(ref.aa_encoder.mlp, aa["mlp"])
+        gru = params["sde_rnn"]["gru"]
+        for gate, seq in (
+            ("update_gate", ref.gru_unit.update_gate),
+            ("reset_gate", ref.gru_unit.reset_gate),
+            ("new_state", ref.gru_unit.new_state_net),
+        ):
+            set_linear(seq[0], gru[f"{gate}_0"])
+            set_linear(seq[2], gru[f"{gate}_1"])
+        fp = params["sde_rnn"]["f_func"]
+        for i, idx in enumerate((0, 2, 4)):
+            set_linear(ref.lsde_func.f_func.net[idx], fp[f"dense{i}"])
+        for gname, gmod in (("g_nus", ref.lsde_func.g_nus), ("g_argo", ref.lsde_func.g_argo)):
+            gp = params["sde_rnn"][gname]
+            set_linear(gmod.net[0], gp["dense0"])
+            set_linear(gmod.net[2], gp["dense1"])
+            set_linear(gmod.net[4], gp["dense_out"])
+        al = params["al_encoder"]
+        set_multi_embed(ref.al_encoder.lane_embed, al["lane_embed"])
+        for n in ("lin_q", "lin_k", "lin_v", "lin_ih", "lin_hh", "lin_self", "out_proj"):
+            set_linear(getattr(ref.al_encoder, n), al["attn"][n])
+        set_ln(ref.al_encoder.norm1, al["norm1"])
+        set_ln(ref.al_encoder.norm2, al["norm2"])
+        set_mlp_block(ref.al_encoder.mlp, al["mlp"])
+        ref.hidden.copy_(T(params["hidden"]))
+
+    class _TData:
+        def __init__(self, d):
+            self._d = d
+            self.__dict__.update(d)
+
+        def __getitem__(self, k):
+            return self._d[k]
+
+        def __setitem__(self, k, v):
+            self._d[k] = v
+
+    angles = np.asarray(scene.rotate_angles)[0]
+    c, s = np.cos(angles), np.sin(angles)
+    R = np.stack([np.stack([c, -s], -1), np.stack([s, c], -1)], -2).astype(np.float32)
+    ei = torch.tensor(
+        [[j, i] for i in range(A) for j in range(A) if i != j], dtype=torch.long
+    ).t()
+    al_mask, al_vec = jax.device_get(graph.al_edges(scene, Th - 1, radius))
+    al_src, al_dst, al_vecs = [], [], []
+    for i in range(A):
+        for j in range(al_mask.shape[2]):
+            if al_mask[0, i, j]:
+                al_src.append(j)
+                al_dst.append(i)
+                al_vecs.append(al_vec[0, i, j])
+
+    data = _TData({
+        "x": torch.from_numpy(np.asarray(scene.x)[0].copy()),
+        "positions": torch.from_numpy(np.asarray(scene.positions)[0].copy()),
+        "padding_mask": torch.from_numpy(np.asarray(scene.padding_mask)[0].copy()),
+        "bos_mask": torch.from_numpy(np.asarray(scene.bos_mask)[0].copy()),
+        "rotate_mat": torch.from_numpy(R),
+        "agent_index": torch.tensor([0], dtype=torch.long),
+        "source": torch.tensor([0], dtype=torch.long),
+        "batch": torch.zeros(A, dtype=torch.long),
+        "edge_index": ei,
+        "num_nodes": A,
+        "lane_positions": torch.from_numpy(np.asarray(scene.lane_positions)[0].copy()),
+        "lane_paddings": torch.from_numpy(
+            np.asarray(scene.lane_paddings)[0].astype(np.float32)
+        ),
+        "lane_actor_index": torch.tensor([al_src, al_dst], dtype=torch.long),
+        "lane_actor_vectors": torch.from_numpy(
+            np.asarray(al_vecs, np.float32).reshape(len(al_src), 2)
+        ),
+    })
+
+    with torch.no_grad():
+        result = ref.forward_ood(data)
+    out_t = result[0] if isinstance(result, tuple) else result
     allclose(out_t, out_j[0], tol=5e-4)
