@@ -159,6 +159,13 @@ def sdeint_adaptive(
     out_ts = ts[1:]
     T = out_ts.shape[0]
     tree = BrownianTree(key, ts[0], ts[-1], y0.shape, jnp.float32, depth=depth)
+    # the tree quantizes queries to the 2**depth leaf grid: a half-step
+    # shorter than one leaf would silently produce a zero Brownian
+    # increment, so the step floor is clamped to two leaf widths
+    # (half-step ≥ leaf resolution)
+    dt_min = jnp.maximum(
+        jnp.asarray(dt_min, jnp.float32), 2.0 * (t_end - t_start) / (2 ** depth)
+    )
     # step-doubling Euler is order-1 deterministically; PI controller in
     # Söderlind form: factor = safety · err^{-(kI+kP)} · prev_err^{+kP}
     # (the positive prev_err exponent is what damps oscillation — a small

@@ -37,6 +37,11 @@ class CheckpointManager:
         self._ckptr = ocp.StandardCheckpointer()
         self._board_path = os.path.join(self.directory, "leaderboard.json")
         self._board = self._load_board()
+        # async saves defer their leaderboard entry here until the orbax
+        # write has landed: a crash mid-write can never leave the board
+        # pointing at an incomplete directory, and _prune can never rmtree
+        # a directory still being written
+        self._pending: Optional[dict] = None
 
     def _load_board(self):
         if os.path.exists(self._board_path):
@@ -55,20 +60,34 @@ class CheckpointManager:
         self, state: Any, metric: Optional[float], step: int, wait: bool = False
     ) -> None:
         path = self._path(step)
+        entry = {"step": step, "metric": metric, "path": path}
         if not os.path.exists(path):
             # any in-flight async write must land before a new one starts
             # (and before pruning may delete its directory)
-            self._ckptr.wait_until_finished()
+            self._flush_pending()
             self._ckptr.save(path, state)
             if wait or not self.async_save:
                 self._ckptr.wait_until_finished()
-        self._board.append({"step": step, "metric": metric, "path": path})
+            else:
+                self._pending = entry  # board entry lands with the write
+                return
+        else:
+            self._flush_pending()
+        self._board.append(entry)
         self._prune()
         self._write_board()
 
+    def _flush_pending(self) -> None:
+        self._ckptr.wait_until_finished()
+        if self._pending is not None:
+            self._board.append(self._pending)
+            self._pending = None
+            self._prune()
+            self._write_board()
+
     def wait(self) -> None:
         """Block until any in-flight async save has landed."""
-        self._ckptr.wait_until_finished()
+        self._flush_pending()
 
     def _prune(self) -> None:
         scored = [e for e in self._board if e["metric"] is not None]
@@ -86,17 +105,19 @@ class CheckpointManager:
                     shutil.rmtree(entry["path"], ignore_errors=True)
 
     def best(self) -> Optional[dict]:
+        self._flush_pending()
         scored = [e for e in self._board if e["metric"] is not None]
         if not scored:
             return None
         return (min if self.mode == "min" else max)(scored, key=lambda e: e["metric"])
 
     def latest(self) -> Optional[dict]:
+        self._flush_pending()
         return self._board[-1] if self._board else None
 
     def restore(self, target: Any, path: Optional[str] = None) -> Any:
         """Full-state restore (``trainer.fit(ckpt_path=...)`` analog)."""
-        self._ckptr.wait_until_finished()  # async save of this path may be in flight
+        self._flush_pending()  # async save of this path may be in flight
         if path is None:
             entry = self.latest()
             if entry is None:
@@ -106,6 +127,7 @@ class CheckpointManager:
 
     def restore_params(self, target_params: Any, path: str) -> Any:
         """Weights-only warm start (``--wonly`` analog, ``train.py:62-64``)."""
+        self._flush_pending()
         restored = self._ckptr.restore(path)
         return jax.tree.map(
             lambda t, r: jax.numpy.asarray(r, t.dtype).reshape(t.shape),
