@@ -180,8 +180,13 @@ def _install_stubs():
     _mod("torchdiffeq", odeint=None)
     _mod("pytorch_lightning", LightningModule=torch.nn.Module)
 
-    class _SDEIto:
+    class _SDEIto(torch.nn.Module):
+        # the real torchsde.SDEIto subclasses nn.Module — the stub must
+        # too, or LSDEFunc's drift/diffusion nets become invisible to
+        # ``parameters()`` (a training harness would silently not
+        # optimize them; caught by the round-3 accuracy-parity run)
         def __init__(self, noise_type="diagonal"):
+            super().__init__()
             self.noise_type = noise_type
             self.sde_type = "ito"
 

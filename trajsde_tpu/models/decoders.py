@@ -149,6 +149,11 @@ class SDEDecoder(nn.Module):
             raise NotImplementedError(
                 f"SDE method {self.method!r} is not supported (euler only)"
             )
+        if self.fused and self.sde_layers != 2:
+            raise NotImplementedError(
+                "SDEDecoder(fused=True) hardcodes the sde_layers=2 topology "
+                "(ops/pallas/sde_rollout.py); use fused=False for other depths"
+            )
         D = self.local_channels
         self.aggr_dense = nn.Dense(D, kernel_init=XAVIER, dtype=self.dtype)
         self.aggr_ln = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype)
@@ -212,13 +217,21 @@ class SDEDecoder(nn.Module):
         local_embed: jax.Array,
         global_embed: jax.Array,
         deterministic: bool = True,
+        sde_noise=None,
     ) -> Dict[str, jax.Array]:
+        """``sde_noise`` [Tf, B, F, A, D] optionally pins the per-step
+        Brownian unit normals (gradient-parity harness; scan path only)."""
         y0 = self.fuse(scene, local_embed, global_embed)
         t0s, dts = self.time_grid()
         if self.fused:
+            if sde_noise is not None:
+                raise NotImplementedError(
+                    "explicit sde_noise requires the scan rollout (fused=False)"
+                )
             ys = self._fused_rollout(y0, t0s, dts)         # [Tf, B, F, A, D]
         else:
-            _, ys = self.sde_rollout(y0, (t0s, dts))       # [Tf, B, F, A, D]
+            xs = (t0s, dts) if sde_noise is None else (t0s, dts, sde_noise)
+            _, ys = self.sde_rollout(y0, xs)               # [Tf, B, F, A, D]
         sol = jnp.transpose(ys, (1, 2, 3, 0, 4))           # [B, F, A, Tf, D]
         return self.decode(scene, sol, local_embed, global_embed)
 

@@ -124,11 +124,15 @@ class SDEGRUStep(nn.Module):
     """One ODE-RNN step: Euler–Maruyama segment + masked GRU fusion.
 
     Carry: latent state ``h [..., D]``.
-    Per-step inputs ``xs = (obs, obs_mask, t0, dt)``:
+    Per-step inputs ``xs = (obs, obs_mask, t0, dt[, eps])``:
       obs      [..., D]  precomputed AA observation for this time step
       obs_mask [...]     bool — actor observed at this step
       t0, dt   scalars   segment start / length (first segment dt=0.01,
                          rest 0.1 — ``enc_hivt_nusargo_sde_sep2.py:128-150``)
+      eps      [..., D]  optional explicit Brownian draw (unit normal);
+                         when present the step consumes it instead of
+                         ``make_rng('sde')`` — used by the gradient-parity
+                         harness to match noise with the torch reference
     Emits ``(h_next, (h_next, g_scalar))`` where ``g_scalar [...,]`` is the
     diffusion magnitude tap used by the BCE discrimination head
     (``sdeint_dual``'s returned ``g``, ``sdeint.py:195-197``).
@@ -153,10 +157,15 @@ class SDEGRUStep(nn.Module):
                          # the three 64-wide MLPs into one full-width chain
                          # (identical params and math; fixed-grid path only)
 
+    def _eps(self, xs, h):
+        if len(xs) > 4:
+            return xs[4].astype(h.dtype)
+        return jax.random.normal(self.make_rng("sde"), h.shape, h.dtype)
+
     @nn.compact
     def __call__(self, carry, xs):
         h, nus_mask = carry
-        obs, obs_mask, t0, dt = xs
+        obs, obs_mask, t0, dt = xs[:4]
         dt = dt.astype(h.dtype)
 
         if self.packed and not self.adaptive:
@@ -175,7 +184,7 @@ class SDEGRUStep(nn.Module):
             g = jnp.where(
                 nus_mask[..., None], nn.sigmoid(g_nus_raw), nn.sigmoid(g_argo_raw)
             )  # [..., 1]
-            eps = jax.random.normal(self.make_rng("sde"), h.shape, h.dtype)
+            eps = self._eps(xs, h)
             y1 = h + f * dt + g * (jnp.sqrt(dt) * eps)
             h_next = GRUUnit(
                 self.embed_dim, self.embed_dim, dtype=self.dtype,
@@ -214,7 +223,7 @@ class SDEGRUStep(nn.Module):
         else:
             f = f_mod(t0, h)
             g = g_fn(t0, h)
-            eps = jax.random.normal(self.make_rng("sde"), h.shape, h.dtype)
+            eps = self._eps(xs, h)
             y1 = h + f * dt + g * (jnp.sqrt(dt) * eps)
 
         h_next = GRUUnit(
@@ -227,8 +236,9 @@ class SDEGRUStep(nn.Module):
 class SDEStep(nn.Module):
     """One plain Euler–Maruyama step (decoder rollout; single diffusion net).
 
-    Carry: ``y [..., D]``; inputs ``(t0, dt)``; emits ``(y1, y1)``.
-    Matches the decoder's fixed-grid ``sdeint`` over
+    Carry: ``y [..., D]``; inputs ``(t0, dt[, eps])``; emits ``(y1, y1)``.
+    ``eps`` is an optional explicit unit-normal Brownian draw (see
+    :class:`SDEGRUStep`).  Matches the decoder's fixed-grid ``sdeint`` over
     ``linspace(0, max_fut_t, future_steps+1)`` with one Euler step per
     segment (``dec_hivt_nusargo_sde.py:72,88``).
     """
@@ -240,7 +250,7 @@ class SDEStep(nn.Module):
 
     @nn.compact
     def __call__(self, y, xs):
-        t0, dt = xs
+        t0, dt = xs[:2]
         dt = dt.astype(y.dtype)
         if self.packed:
             fp = FFuncParams(self.embed_dim, self.sde_layers, name="f_func")()
@@ -257,7 +267,10 @@ class SDEStep(nn.Module):
         else:
             f = FFunc(self.embed_dim, self.sde_layers, dtype=self.dtype, name="f_func")(t0, y)
             g = GFunc(self.embed_dim, self.sde_layers, dtype=self.dtype, name="g_func")(t0, y)
-        eps = jax.random.normal(self.make_rng("sde"), y.shape, y.dtype)
+        if len(xs) > 2:
+            eps = xs[2].astype(y.dtype)
+        else:
+            eps = jax.random.normal(self.make_rng("sde"), y.shape, y.dtype)
         y1 = y + f * dt + g * (jnp.sqrt(dt) * eps)
         return y1, y1
 

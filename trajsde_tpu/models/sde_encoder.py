@@ -113,6 +113,12 @@ class LocalEncoderSDESep(nn.Module):
     scan_unroll: int = 1  # lax.scan unroll for the 21-step ODE-RNN
     packed: bool = True   # pack f+g_nus+g_argo (and GRU gates) per step
                           # into full-width matmul chains
+    ood_chunk: int = 0    # forward_ood ensemble chunking: fold only this
+                          # many of the eval_iter members into the batch at
+                          # a time (0 = all at once).  Memory fallback for
+                          # production shapes where the 10× folded ODE-RNN
+                          # would OOM (VERDICT r2 item #7)
+    neighbor_cap: int = 0  # AA pair chain neighbor cap (see AAEncoder)
 
     def setup(self):
         if self.method != "euler":
@@ -138,6 +144,7 @@ class LocalEncoderSDESep(nn.Module):
             rows_fwd=self.rows_fwd,
             rows_bwd=self.rows_bwd,
             ln_mm=self.ln_mm,
+            neighbor_cap=self.neighbor_cap,
             name="aa_encoder",
         )
         self.al_encoder = al_cls(
@@ -163,11 +170,13 @@ class LocalEncoderSDESep(nn.Module):
         self.hidden = self.param("hidden", TOKEN_INIT, (self.embed_dim,))
 
     # ------------------------------------------------------------------
-    def _aa_with_twin(self, scene: SceneBatch, deterministic: bool):
+    def _aa_with_twin(self, scene: SceneBatch, deterministic: bool, twin_noise=None):
         """AA attention over A real actors + 1 twin query row.
 
         Returns (aa_out [B, Th, A+1, D], bos_q [B, A+1, Th],
-        valid_q [B, A+1, Th], nus_row [B, A+1]).
+        valid_q [B, A+1, Th], nus_row [B, A+1]).  ``twin_noise`` optionally
+        supplies the twin's unit-normal perturbation (gradient-parity
+        harness; shape [B, 1, Th, 2]).
         """
         B, A, Th = scene.x.shape[0], scene.x.shape[1], self.historical_steps
         rot = scene.rotate_mat()
@@ -178,7 +187,10 @@ class LocalEncoderSDESep(nn.Module):
 
         # twin: perturbed displacement features, agent's geometry/masks
         x_agent = _gather_actor(scene.x, scene.agent_index, axis=1)  # [B,1,Th,2]
-        noise = jax.random.normal(self.make_rng("sde"), x_agent.shape, x_agent.dtype)
+        if twin_noise is None:
+            noise = jax.random.normal(self.make_rng("sde"), x_agent.shape, x_agent.dtype)
+        else:
+            noise = twin_noise.astype(x_agent.dtype)
         x_twin = x_agent + 2.0 * noise
         x_q = jnp.concatenate(
             [x_t, jnp.transpose(x_twin, (0, 2, 1, 3))], axis=2
@@ -205,35 +217,48 @@ class LocalEncoderSDESep(nn.Module):
         nus_row = jnp.broadcast_to(nus[:, None], (B, A + 1))
         return aa_out, bos_q, valid_q, nus_row
 
-    def _run_rnn(self, h0, aa_out, valid_q, nus_row):
+    def _run_rnn(self, h0, aa_out, valid_q, nus_row, sde_noise=None):
         """Scan the ODE-RNN newest→oldest; returns iteration-ordered outputs.
 
         aa_out [B, Th, N, D]; iteration k consumes time step Th−1−k
         (``run_backwards``, ``enc_hivt_nusargo_sde_sep2.py:131-133``).
+        ``sde_noise`` optionally supplies the per-step Brownian unit normals,
+        ITERATION-ordered [Th, B, N, D] (entry 0 = newest step).
         """
         t0s, dts = encoder_time_grid(
             self.historical_steps, self.max_past_t, self.minimum_step
         )
         obs = jnp.flip(jnp.transpose(aa_out, (1, 0, 2, 3)), axis=0)  # [Th, B, N, D]
         obs_mask = jnp.flip(jnp.transpose(valid_q, (2, 0, 1)), axis=0)  # [Th, B, N]
-        (_, _), (ys, gs) = self.sde_rnn((h0, nus_row), (obs, obs_mask, t0s, dts))
+        xs = (obs, obs_mask, t0s, dts)
+        if sde_noise is not None:
+            xs = xs + (sde_noise,)
+        (_, _), (ys, gs) = self.sde_rnn((h0, nus_row), xs)
         return ys, gs  # [Th, B, N, D], [Th, B, N]
 
     # ------------------------------------------------------------------
     def __call__(
-        self, scene: SceneBatch, deterministic: bool = True
+        self,
+        scene: SceneBatch,
+        deterministic: bool = True,
+        sde_noise=None,
+        twin_noise=None,
     ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
         """Returns (local_embed [B,A,D], diff_in [B], diff_out [B],
-        label_in [B], label_out [B])."""
+        label_in [B], label_out [B]).  ``sde_noise`` [Th, B, A+1, D]
+        (iteration-ordered) / ``twin_noise`` [B, 1, Th, 2] optionally pin
+        the Brownian and twin-perturbation draws (gradient-parity harness)."""
         B, A = scene.x.shape[0], scene.x.shape[1]
         Th = self.historical_steps
 
-        aa_out, bos_q, valid_q, nus_row = self._aa_with_twin(scene, deterministic)
+        aa_out, bos_q, valid_q, nus_row = self._aa_with_twin(
+            scene, deterministic, twin_noise
+        )
 
         h0 = jnp.broadcast_to(self.hidden, (B, A + 1, self.embed_dim))
         if self.dtype is not None:
             h0 = h0.astype(self.dtype)
-        ys, gs = self._run_rnn(h0, aa_out, valid_q, nus_row)
+        ys, gs = self._run_rnn(h0, aa_out, valid_q, nus_row, sde_noise)
 
         # per-actor final state at eos + agent/twin diffusion taps (``:184-196``)
         out, diff_in, diff_out = gather_eos_outputs(
@@ -280,23 +305,34 @@ class LocalEncoderSDESep(nn.Module):
         # fold the ensemble axis into the batch: ONE scan evaluates all
         # eval_iter stochastic re-runs (the reference loops them in Python,
         # ``enc_hivt_nusargo_sde_sep2.py:255``); per-step rngs differ per
-        # row because the fold happens before the scan splits its streams
+        # row because the fold happens before the scan splits its streams.
+        # ``ood_chunk`` bounds the fold (memory fallback: each chunk is an
+        # independent scan over chunk·B rows, unrolled at trace time)
         E = self.eval_iter
+        chunk = self.ood_chunk if self.ood_chunk > 0 else E
+        if E % chunk != 0:
+            raise ValueError(f"ood_chunk {chunk} must divide eval_iter {E}")
         dt = scene.x.dtype if self.dtype is None else self.dtype
-        h0 = jnp.zeros((E * B, A, self.embed_dim), dt)
-        tile = lambda arr: jnp.concatenate([arr] * E, axis=0)
-        ys, _ = self._run_rnn(
-            h0,
-            tile(aa_out),
-            tile(valid),
-            tile(nus_row),
-        )                                                # [Th, E·B, A, D]
-        ys_bn = jnp.transpose(ys, (1, 2, 0, 3))          # [E·B, A, Th, D]
-        eos_t = jnp.concatenate([eos] * E, axis=0)
-        picked = jnp.take_along_axis(
-            ys_bn, eos_t[:, :, None, None].astype(jnp.int32), axis=2
-        )[:, :, 0, :]
-        stacked = picked.reshape(E, B, A, self.embed_dim)
+        picked_chunks = []
+        for _ in range(E // chunk):
+            h0 = jnp.zeros((chunk * B, A, self.embed_dim), dt)
+            tile = lambda arr: jnp.concatenate([arr] * chunk, axis=0)
+            ys, _ = self._run_rnn(
+                h0,
+                tile(aa_out),
+                tile(valid),
+                tile(nus_row),
+            )                                            # [Th, chunk·B, A, D]
+            ys_bn = jnp.transpose(ys, (1, 2, 0, 3))      # [chunk·B, A, Th, D]
+            eos_t = jnp.concatenate([eos] * chunk, axis=0)
+            picked_chunks.append(
+                jnp.take_along_axis(
+                    ys_bn, eos_t[:, :, None, None].astype(jnp.int32), axis=2
+                )[:, :, 0, :]
+            )
+        stacked = jnp.concatenate(picked_chunks, axis=0).reshape(
+            E, B, A, self.embed_dim
+        )
         actors_std = jnp.std(stacked, axis=0).mean(-1)   # [B, A]
         out = stacked.mean(0)
 
