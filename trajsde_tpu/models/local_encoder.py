@@ -103,6 +103,15 @@ class AAEncoder(nn.Module):
     rows_fwd: int = 64       # fused forward per-tile row budget (VMEM knob)
     rows_bwd: int = 32       # fused backward per-tile row budget
     ln_mm: bool = True       # fused kernel: LN stats via MXU matmuls
+    neighbor_cap: int = 0    # gather each receiver's nearest in-radius
+                             # senders into this many slots before the pair
+                             # chain ([B,Th,Aq,Ak] → [B,Th,Aq,K]) — the
+                             # exact-math sparsity of the reference's ragged
+                             # edge lists (``enc_hivt_nusargo_grid.py:58-71``
+                             # pays only real edges).  EXACT when K ≥ max
+                             # in-radius degree; overflow rows drop their
+                             # FARTHEST extras and are counted in the
+                             # 'diagnostics' collection.  0 = dense.
 
     @nn.compact
     def __call__(
@@ -131,13 +140,40 @@ class AAEncoder(nn.Module):
             )
 
         if self.fused:
+            if self.neighbor_cap:
+                raise NotImplementedError(
+                    "neighbor_cap applies to the XLA pair chain (fused=False)"
+                )
             center = center + self._fused_block(
                 center, x_k, rot_q, mask, edge_vec, deterministic
             )
         else:
+            if self.neighbor_cap and self.neighbor_cap < mask.shape[-1]:
+                # neighbor-capped gather: [B,Th,Aq,Ak] → [B,Th,Aq,K] of the
+                # NEAREST in-radius senders; masked softmax over the
+                # gathered set equals the dense masked softmax exactly
+                # whenever no row overflows (masked pairs contribute
+                # exactly zero either way)
+                K = self.neighbor_cap
+                d2 = jnp.sum(edge_vec * edge_vec, axis=-1)      # [B,Th,Aq,Ak]
+                score = jnp.where(mask, -d2, -jnp.inf)
+                _, idx = jax.lax.top_k(score, K)                # [B,Th,Aq,K]
+                deg = jnp.sum(mask, axis=-1)
+                self.sow(
+                    "diagnostics",
+                    "aa_overflow_edges",
+                    jnp.sum(jnp.maximum(deg - K, 0)),
+                )
+                mask = jnp.take_along_axis(mask, idx, axis=3)
+                edge_vec = jnp.take_along_axis(edge_vec, idx[..., None], axis=3)
+                x_k_per_q = jnp.take_along_axis(
+                    x_k[:, :, None], idx[..., None], axis=3
+                )                                               # [B,Th,Aq,K,2]
+                x_k_local = jnp.einsum("btqkj,bqji->btqki", x_k_per_q, rot_q)
+            else:
+                x_k_local = jnp.einsum("btkj,bqji->btqki", x_k, rot_q)
             # per-pair neighbor embedding, rotated into the RECEIVER frame
             # (:178-186)
-            x_k_local = jnp.einsum("btkj,bqji->btqki", x_k, rot_q)
             edge_local = jnp.einsum("btqkj,bqji->btqki", edge_vec, rot_q)
             nbr = MultipleInputEmbedding(D, dtype=self.dtype, name="nbr_embed")(
                 [x_k_local, edge_local]
@@ -326,6 +362,7 @@ class LocalEncoder(nn.Module):
     rows_fwd: int = 64     # fused forward per-tile row budget (VMEM knob)
     rows_bwd: int = 32     # fused backward per-tile row budget
     ln_mm: bool = True     # fused kernel: LN stats via MXU matmuls
+    neighbor_cap: int = 0  # AA pair chain neighbor cap (see AAEncoder)
 
     @nn.compact
     def __call__(self, scene: SceneBatch, deterministic: bool = True) -> jax.Array:
@@ -348,6 +385,7 @@ class LocalEncoder(nn.Module):
             rows_fwd=self.rows_fwd,
             rows_bwd=self.rows_bwd,
             ln_mm=self.ln_mm,
+            neighbor_cap=self.neighbor_cap,
             name="aa_encoder",
         )(x_t, x_t, rot, scene.bos_mask, mask, edge_vec, deterministic)
 
