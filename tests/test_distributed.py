@@ -84,6 +84,49 @@ def test_init_multihost_single_process_noop(monkeypatch):
     assert mesh_lib.init_multihost(num_processes=1) == 1
 
 
+def test_multihost_two_process_grads_match(tmp_path):
+    """REAL multi-process execution (VERDICT r2 item #5): two localhost CPU
+    processes join via ``jax.distributed.initialize`` (through
+    ``init_multihost``), build one GLOBAL 4-device mesh, and compute
+    sharded baseline-model gradients that must match each process's own
+    single-host gradients.  The reference gets this from Lightning DDP
+    (``/root/reference/train.py:35``)."""
+    import json
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+
+    worker = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
+    env = dict(os.environ)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(i), "2", str(port), str(tmp_path)],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+        )
+        for i in range(2)
+    ]
+    for p in procs:
+        out, err = p.communicate(timeout=600)
+        assert p.returncode == 0, err.decode()[-3000:]
+
+    for i in range(2):
+        with open(os.path.join(str(tmp_path), f"proc{i}.json")) as f:
+            r = json.load(f)
+        assert r["process_count"] == 2
+        assert r["device_count"] == 4
+        assert r["local_device_count"] == 2
+        # psum reassociation noise only (same bound as the in-process test)
+        assert r["maxrel"] < 5e-4, r
+
+
 def test_nan_guard_skips_bad_step(rng):
     """A poisoned batch must not corrupt parameters."""
     scene = make_scene_batch(rng, batch_size=2, num_actors=6, num_lanes=8)
