@@ -318,3 +318,45 @@ def test_group_microbatches_buckets_and_partials(rng):
     assert sorted(g.lane_positions.shape[:3] for g in lane_groups) == [
         (2, 4, 8), (2, 4, 16)
     ]
+
+
+def test_compiled_shape_count_bounded_under_bucketing_and_accum(rng):
+    """Executable-count bound (VERDICT r2 item #9): streaming mixed bucket
+    shapes through ``group_microbatches`` + the accumulated train step must
+    compile at most ``n_buckets × 2`` variants (one full-K group plus at
+    most one partial trailing group per bucket) — and a second epoch of the
+    same stream must add ZERO new executables."""
+    from trajsde_tpu.train.loop import group_microbatches
+
+    def scene(actors, seed):
+        return make_scene_batch(
+            np.random.default_rng(seed), batch_size=2, num_actors=actors,
+            num_lanes=8, sources=[0, 1],
+        )
+
+    # two actor buckets, 3 batches each → per bucket: one K=2 group + one
+    # K=1 partial
+    def epoch_stream():
+        return iter(
+            [scene(4, 0), scene(6, 1), scene(4, 2), scene(6, 3), scene(4, 4),
+             scene(6, 5)]
+        )
+
+    model = make_baseline()
+    opt = optax.sgd(0.1)
+    state = create_train_state(model, opt, scene(4, 0))
+    step = make_train_step(
+        model, opt, [("L2", 1.0, l2_loss)], donate=False, accum_steps=2
+    )
+
+    for group in group_microbatches(epoch_stream(), 2):
+        state, _ = step(state, group)
+    n_buckets = 2
+    first_epoch = step._cache_size()
+    assert first_epoch <= n_buckets * 2, (
+        f"{first_epoch} compiled executables for {n_buckets} buckets"
+    )
+
+    for group in group_microbatches(epoch_stream(), 2):
+        state, _ = step(state, group)
+    assert step._cache_size() == first_epoch, "second epoch recompiled"

@@ -408,6 +408,12 @@ class Trainer:
                             "epoch": epoch,
                             "perf/steps_per_s": n_steps / max(dt, 1e-9),
                             "perf/scenes_per_s": scenes / max(dt, 1e-9),
+                            # distinct compiled train-step executables so
+                            # far — bucketing/accumulation shape growth is
+                            # observable, not silent (SURVEY §7 hard parts)
+                            "perf/compiled_steps": float(
+                                self.train_step._cache_size()
+                            ),
                         },
                     )
                 if self.checkpointer is not None:
