@@ -1,15 +1,19 @@
 """Headline benchmark: SDE-model training throughput on one chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 
 The measured quantity is full training-step throughput (fwd + bwd + AdamW
 update) of the flagship neural-SDE model — encoder 21-segment
 Euler–Maruyama ODE-RNN + 60-step SDE decoder rollout — on synthetic
-scenes at reference scale (batch 64 here; the reference trains at 128 on
-an A100-class GPU).  ``vs_baseline`` is measured against the first
+scenes at reference scale.  ``vs_baseline`` is measured against the first
 recorded value in BENCH_BASELINE.json (the reference publishes no
 throughput numbers — BASELINE.md), so cross-round improvements are
 tracked self-relative.
+
+The record also carries ``production_*`` keys: the same step at
+PRODUCTION scene capacity (B=128 / A=48 / L=192 — nuScenes 80 m-radius
+scale, bf16), so the real regime is driver-tracked alongside the bench
+shape (VERDICT r2 item #4).
 """
 from __future__ import annotations
 
@@ -22,7 +26,9 @@ import numpy as np
 import optax
 
 BATCH, ACTORS, LANES = 128, 32, 64
+PROD_BATCH, PROD_ACTORS, PROD_LANES = 128, 48, 192
 WARMUP, ITERS = 1, 20
+PROD_ITERS = 10
 BASELINE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_BASELINE.json")
 
 
@@ -126,6 +132,38 @@ def main() -> None:
     if mfu is not None:
         record["mfu"] = round(mfu, 4)
         record["device"] = kind
+
+    # production-shape record (same protocol, fewer iters): direct B=128
+    # bf16 — the bf16 activations fit where f32 spilled (PERF.md Round 3)
+    try:
+        prod_scene = jax.device_put(
+            _scene(batch_size=PROD_BATCH, num_actors=PROD_ACTORS, num_lanes=PROD_LANES)
+        )
+        prod_state = create_train_state(model, optimizer, prod_scene)
+
+        @jax.jit
+        def run_prod(state, scene):
+            def body(i, st):
+                st, _ = step(st, scene)
+                return st
+            st = jax.lax.fori_loop(0, PROD_ITERS, body, state)
+            return st, jax.tree_util.tree_reduce(
+                lambda a, b: a + jnp.sum(b), st.params, 0.0
+            )
+
+        prod_state, c = run_prod(prod_state, prod_scene)
+        assert np.isfinite(float(c))
+        t0 = time.perf_counter()
+        _, c = run_prod(prod_state, prod_scene)
+        c = float(c)
+        pdt = time.perf_counter() - t0
+        assert np.isfinite(c)
+        record["production_ms_per_step"] = round(pdt / PROD_ITERS * 1000, 2)
+        record["production_scenes_per_sec"] = round(PROD_BATCH * PROD_ITERS / pdt, 1)
+        record["production_config"] = f"B{PROD_BATCH}/A{PROD_ACTORS}/L{PROD_LANES} bf16"
+    except Exception as e:  # record the failure rather than losing the headline
+        record["production_error"] = repr(e)[:200]
+
     print(json.dumps(record))
 
 

@@ -22,7 +22,11 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -37,6 +41,8 @@ except Exception:
     pass
 
 RESULTS = {}
+# shape table: overridden by --tiny for CPU smoke runs
+SHAPES = {"bench": (128, 32, 64), "prod": (64, 48, 192), "iters": 20}
 
 
 def report(key, value):
@@ -78,33 +84,39 @@ def part_deg():
     from __graft_entry__ import _scene
     from trajsde_tpu.models import graph
 
-    for tag, (b, a, l) in {"bench_B128_A32": (128, 32, 64),
-                           "prod_B64_A48": (64, 48, 192)}.items():
+    for tag, (b, a, l) in {"bench_B128_A32": SHAPES["bench"],
+                           "prod_B64_A48": SHAPES["prod"]}.items():
         scene = _scene(b, a, l)
         mask = np.asarray(graph.aa_masks(scene, 50.0))  # [B, Th, A, A]
         deg = mask.sum(-1)
+        total = max(int(deg.sum()), 1)
         report(f"deg/{tag}", {
             "max": int(deg.max()),
             "p99": float(np.quantile(deg, 0.99)),
             "mean": round(float(deg.mean()), 2),
             "A": a,
+            # fraction of real edges a cap K would DROP (overflow)
+            "dropped_frac": {
+                K: round(float(np.maximum(deg - K, 0).sum()) / total, 4)
+                for K in (8, 16, 24, 32)
+            },
         })
 
 
 def part_cap():
     from __graft_entry__ import _build_flagship, _scene
 
-    scene = jax.device_put(_scene(128, 32, 64))
-    for cap in (0, 16, 24):
+    scene = jax.device_put(_scene(*SHAPES["bench"]))
+    for cap in (0, 8, 16):
         model = _build_flagship(dtype=jnp.bfloat16, neighbor_cap=cap)
-        ms, cs = train_ms_per_step(model, scene, tag=f"cap{cap}")
+        ms, cs = train_ms_per_step(model, scene, iters=SHAPES["iters"], tag=f"cap{cap}")
         report(f"cap/bench_B128_A32_cap{cap}_ms", round(ms, 2))
 
 
 def part_prod():
     from __graft_entry__ import _build_flagship, _scene
 
-    scene = jax.device_put(_scene(64, 48, 192))
+    scene = jax.device_put(_scene(*SHAPES["prod"]))
     variants = {
         "dense": {},
         "cap24": {"neighbor_cap": 24},
@@ -115,17 +127,42 @@ def part_prod():
     for name, kw in variants.items():
         try:
             model = _build_flagship(dtype=jnp.bfloat16, **kw)
-            ms, cs = train_ms_per_step(model, scene, tag=name)
+            ms, cs = train_ms_per_step(model, scene, iters=SHAPES["iters"], tag=name)
             report(f"prod/B64_A48_L192_{name}_ms", round(ms, 2))
             report(f"prod/B64_A48_L192_{name}_scenes_per_s", round(64000.0 / ms, 1))
         except Exception as e:  # OOM etc. — record honestly
             report(f"prod/B64_A48_L192_{name}_ERROR", repr(e)[:300])
 
 
+def part_prod128():
+    """Direct B=128 at production shape: the fused AA path eliminates the
+    pair residuals that spilled the dense step (PERF.md B=256 root cause)."""
+    from __graft_entry__ import _build_flagship, _scene
+
+    b, a, l = SHAPES["prod"]
+    scene = jax.device_put(_scene(2 * b, a, l))
+    for name, kw in {
+        "dense": {},
+        "fused_aa": {"fused": True},
+        "cap24": {"neighbor_cap": 24},
+        "cap32": {"neighbor_cap": 32},
+    }.items():
+        try:
+            model = _build_flagship(dtype=jnp.bfloat16, **kw)
+            ms, cs = train_ms_per_step(model, scene, iters=SHAPES["iters"], tag=name)
+            report(f"prod128/B{2*b}_A{a}_L{l}_{name}_ms", round(ms, 2))
+            report(
+                f"prod128/B{2*b}_A{a}_L{l}_{name}_scenes_per_s",
+                round(2 * b * 1000.0 / ms, 1),
+            )
+        except Exception as e:
+            report(f"prod128/B{2*b}_A{a}_L{l}_{name}_ERROR", repr(e)[:300])
+
+
 def part_ood():
     from __graft_entry__ import _build_flagship, _scene
 
-    scene = jax.device_put(_scene(64, 48, 192))
+    scene = jax.device_put(_scene(*SHAPES["prod"]))
     for chunk in (0, 2):
         model = _build_flagship(dtype=jnp.bfloat16, ood_chunk=chunk)
         params = jax.jit(model.init)(
@@ -157,7 +194,7 @@ def part_ood():
 def part_adaptive(budget_s: float = 1200.0):
     from __graft_entry__ import _build_flagship, _scene
 
-    scene = jax.device_put(_scene(128, 32, 64))
+    scene = jax.device_put(_scene(*SHAPES["bench"]))
     model = _build_flagship(dtype=jnp.bfloat16, adaptive=True)
     try:
         t0 = time.perf_counter()
@@ -178,7 +215,7 @@ def part_serving():
     from trajsde_tpu.train.metrics import make_metrics
 
     model = _build_flagship(dtype=jnp.bfloat16)
-    scene = jax.device_put(_scene(128, 32, 64))
+    scene = jax.device_put(_scene(*SHAPES["bench"]))
     opt = optax.adamw(1e-3, weight_decay=7e-4)
     state = create_train_state(model, opt, scene)
     step = make_train_step(
@@ -205,9 +242,10 @@ def part_serving():
     from trajsde_tpu.data.synthetic import make_scene_batch
 
     def _val_scene(i):
+        b, a, l = SHAPES["bench"]
         return make_scene_batch(
-            np.random.default_rng(100 + i), batch_size=128, num_actors=32,
-            num_lanes=64, sources=[0, 1],
+            np.random.default_rng(100 + i), batch_size=b, num_actors=a,
+            num_lanes=l, sources=[0, 1],
         )
 
     def metric_pass(outputs_fn, n_batches=8):
@@ -229,9 +267,12 @@ def part_serving():
     g = metric_pass(lambda s, i: gauss_fwd(state.params, s, jax.random.key(i)))
     report("serving/gaussian_scan", {k: round(v, 4) for k, v in g.items()})
 
-    # engine 2: Rademacher Pallas serving kernel
-    serve = make_serving_fn(model, params, increments="rademacher",
-                            interpret=jax.default_backend() != "tpu")
+    # engine 2: Rademacher Pallas serving kernel (TPU only: the CPU
+    # interpreter lacks the on-core PRNG primitives — CLAUDE.md)
+    if jax.default_backend() != "tpu":
+        report("serving/rademacher_kernel", "SKIPPED (needs TPU on-core PRNG)")
+        return
+    serve = make_serving_fn(model, params, increments="rademacher")
     def rad_out(s, i):
         return serve(s, jax.random.key(i), jnp.int32(1234 + i))
     r = metric_pass(rad_out)
@@ -245,7 +286,14 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--parts", default="deg,cap,prod,ood,serving,adaptive")
     ap.add_argument("--out", default="/tmp/bench_r3.json")
+    ap.add_argument("--tiny", action="store_true", help="CPU smoke shapes")
     args = ap.parse_args()
+    if args.tiny:
+        SHAPES.update(bench=(4, 6, 8), prod=(4, 8, 12), iters=2)
+        jax.config.update("jax_platforms", "cpu")
+        _cc.set_cache_dir("/tmp/jax_cache_trajsde_cpu")
+    # match bench.py's headline methodology (rbg PRNG, ~1.24x on mask gen)
+    jax.config.update("jax_default_prng_impl", "rbg")
     print("device:", jax.devices()[0].device_kind, flush=True)
     for part in args.parts.split(","):
         print(f"\n=== {part} ===", flush=True)

@@ -50,7 +50,9 @@ def make_serving_fn(
         y0 = m.decoder.fuse(scene, local, glob)
         B, F, A, D = y0.shape
         sol = sde_rollout(
-            y0.reshape(-1, D),
+            # the kernel state is f32 regardless of the model's compute
+            # dtype (mixed-precision models produce bf16 fusion output)
+            y0.reshape(-1, D).astype(jnp.float32),
             kp,
             t0s,
             dts,
