@@ -205,6 +205,48 @@ def part_adaptive(budget_s: float = 1200.0):
         report("adaptive/B128_A32_ERROR", repr(e)[:300])
 
 
+def part_capacc():
+    """Accuracy impact of the lossy cap: train dense vs neighbor_cap=8
+    (35% of edges dropped at this shape) on the same synthetic stream,
+    compare final eval metrics."""
+    from __graft_entry__ import _build_flagship
+    from trajsde_tpu.data.synthetic import make_scene_batch
+    from trajsde_tpu.losses import diff_bce_loss, l2_loss
+    from trajsde_tpu.train.loop import create_train_state, make_eval_step, make_train_step
+    from trajsde_tpu.train.metrics import make_metrics
+
+    b, a, l = SHAPES["bench"]
+    rng = np.random.default_rng(0)
+    train_scenes = [
+        jax.device_put(make_scene_batch(rng, b, a, l, sources=[0, 1]))
+        for _ in range(4)
+    ]
+    val_scene = jax.device_put(
+        make_scene_batch(np.random.default_rng(99), b, a, l, sources=[0, 1])
+    )
+    for name, cap in (("dense", 0), ("cap8", 8)):
+        model = _build_flagship(dtype=jnp.bfloat16, neighbor_cap=cap)
+        opt = optax.adamw(optax.cosine_decay_schedule(1e-3, 400), weight_decay=7e-4)
+        state = create_train_state(model, opt, train_scenes[0])
+        step = make_train_step(
+            model, opt, [("L2", 1.0, l2_loss), ("DiffBCE", 1.0, diff_bce_loss)],
+            donate=False,
+        )
+        for it in range(400):
+            state, _ = step(state, train_scenes[it % 4])
+        metrics = make_metrics(
+            ["ADE_T", "FDE_T", "MR_T"],
+            [{"dataset": "nuScenes", "end_idcs": [59, 29]}] * 3,
+        )
+        eval_step = make_eval_step(model, metrics)
+        for m in metrics:
+            m.reset()
+        c = eval_step(state.params, val_scene, jax.random.key(5))
+        for m in metrics:
+            m.accumulate(jax.tree.map(float, c[m.name]))
+        report(f"capacc/{name}", {m.name: round(float(m.compute()), 4) for m in metrics})
+
+
 def part_serving():
     from __graft_entry__ import _build_flagship, _scene
     from trajsde_tpu.losses import diff_bce_loss, l2_loss
