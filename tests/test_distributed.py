@@ -113,9 +113,16 @@ def test_multihost_two_process_grads_match(tmp_path):
         )
         for i in range(2)
     ]
-    for p in procs:
-        out, err = p.communicate(timeout=600)
-        assert p.returncode == 0, err.decode()[-3000:]
+    try:
+        for p in procs:
+            out, err = p.communicate(timeout=600)
+            assert p.returncode == 0, err.decode()[-3000:]
+    finally:
+        # one worker timing out / failing must not leave its sibling
+        # blocked at a coordination barrier holding the port and a CPU
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
 
     for i in range(2):
         with open(os.path.join(str(tmp_path), f"proc{i}.json")) as f:

@@ -202,6 +202,12 @@ class SDEGRUStep(nn.Module):
             )  # [..., 1]
 
         if self.adaptive:
+            if len(xs) > 4:
+                raise NotImplementedError(
+                    "explicit sde_noise requires the fixed-grid path "
+                    "(adaptive=False); the adaptive branch draws from its "
+                    "own BrownianTree"
+                )
             from trajsde_tpu.ops.sdeint import sdeint_adaptive
 
             ts = jnp.stack([t0.astype(jnp.float32), (t0 + dt).astype(jnp.float32)])

@@ -61,6 +61,18 @@ class CheckpointManager:
     ) -> None:
         path = self._path(step)
         entry = {"step": step, "metric": metric, "path": path}
+        # a directory the board never recorded is an ORPHAN from a crashed
+        # async write (the entry is only appended once the write lands):
+        # its contents are unaccounted, so replace them — skipping the
+        # write here would bind this save's metric to stale weights
+        known = any(e["path"] == path for e in self._board) or (
+            self._pending is not None and self._pending["path"] == path
+        )
+        if os.path.exists(path) and not known:
+            import shutil
+
+            self._ckptr.wait_until_finished()
+            shutil.rmtree(path, ignore_errors=True)
         if not os.path.exists(path):
             # any in-flight async write must land before a new one starts
             # (and before pruning may delete its directory)

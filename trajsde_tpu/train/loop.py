@@ -410,9 +410,11 @@ class Trainer:
                             "perf/scenes_per_s": scenes / max(dt, 1e-9),
                             # distinct compiled train-step executables so
                             # far — bucketing/accumulation shape growth is
-                            # observable, not silent (SURVEY §7 hard parts)
+                            # observable, not silent (SURVEY §7 hard parts).
+                            # _cache_size is a private jax.jit API: degrade
+                            # to -1 rather than kill a run if it moves
                             "perf/compiled_steps": float(
-                                self.train_step._cache_size()
+                                getattr(self.train_step, "_cache_size", lambda: -1)()
                             ),
                         },
                     )
