@@ -1,0 +1,155 @@
+"""Serving CLI: batch-predict a directory of scenes, or run as a daemon.
+
+    # batch mode: one prediction npz per input scene + a latency summary
+    python serve.py -c <cfg.yml> --ckpt <step_dir> \
+        --input-dir scenes/ --output-dir preds/
+
+    # daemon mode: JSON-lines requests on stdin, responses on stdout
+    #   {"id": "r1", "npz": "/path/scene.npz"} -> {"id": "r1", "out": ...}
+    echo '{"id": "r1", "npz": "s0.npz"}' | python serve.py -c ... --ckpt ... \
+        --output-dir preds/ --daemon
+
+Inputs are preprocessor-output ``.npz`` scene dicts (the shard schema);
+the engine applies the same runtime grid alignment as training.  Outputs
+per scene: ``loc`` (all-actor agent-frame modes, [K, A, Tf, 2]), ``pi``
+(mode logits per actor), ``agent_world`` (focal-agent modes in the scene
+frame, [K, Tf, 2] — the submission payload), ``agent_pi`` (softmax mode
+probabilities).  The deployment analog the reference lacks (its eval
+surface is ``trainer.test`` only, ``/root/reference/test.py:58``).
+"""
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("-c", "--config", required=True)
+    ap.add_argument("--ckpt", required=True)
+    ap.add_argument("--input-dir", default=None)
+    ap.add_argument("--output-dir", required=True)
+    ap.add_argument("--daemon", action="store_true",
+                    help="JSON-lines request loop on stdin")
+    ap.add_argument("--engine", choices=["auto", "kernel", "scan"], default="auto")
+    ap.add_argument("--increments", choices=["rademacher", "gaussian"],
+                    default="rademacher")
+    ap.add_argument("--max-batch", type=int, default=32)
+    ap.add_argument("--max-wait-ms", type=float, default=5.0)
+    ap.add_argument("--num-actors", type=int, default=None)
+    ap.add_argument("--num-lanes", type=int, default=None)
+    ap.add_argument("--warmup", action="store_true",
+                    help="compile every batch bucket before serving")
+    args = ap.parse_args()
+    if not args.daemon and not args.input_dir:
+        ap.error("either --input-dir or --daemon is required")
+
+    if os.environ.get("TRAJSDE_FORCE_CPU"):
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+    import numpy as np
+
+    from trajsde_tpu.config import build_model, load_config
+    from trajsde_tpu.data.loader import load_scene_npz
+    from trajsde_tpu.data.pack import pack_scenes
+    from trajsde_tpu.data.grid import align_to_grid
+    from trajsde_tpu.server import ServingEngine
+    from trajsde_tpu.train.checkpoint import CheckpointManager
+
+    cfg = load_config(args.config)
+    dm = cfg.datamodule
+    num_actors = args.num_actors or int(dm.get("num_actors", 48))
+    num_lanes = args.num_lanes or int(dm.get("num_lanes", 192))
+    is_gtabs = (dm.get("test_dataset_args") or {}).get("is_gtabs", True)
+
+    model = build_model(cfg)
+
+    def load_raw(path: str) -> dict:
+        if not os.path.exists(path):
+            raise FileNotFoundError(path)
+        return load_scene_npz(path)
+
+    # params template from one example scene (weights-only restore)
+    if args.input_dir:
+        paths = sorted(glob.glob(os.path.join(args.input_dir, "*.npz")))
+        if not paths:
+            raise SystemExit(f"no .npz scenes under {args.input_dir}")
+        example_raw = load_raw(paths[0])
+    else:
+        first_line = sys.stdin.readline()
+        if not first_line.strip():
+            raise SystemExit("daemon mode: no request on stdin")
+        first_req = json.loads(first_line)
+        example_raw = load_raw(first_req["npz"])
+    example = pack_scenes(
+        [align_to_grid(dict(example_raw, source=example_raw.get("source", 0)),
+                       is_gtabs=is_gtabs)],
+        num_actors, num_lanes,
+    )
+    template = jax.jit(model.init)(
+        {"params": jax.random.key(0), "sde": jax.random.key(1)}, example
+    )["params"]
+    params = CheckpointManager(
+        os.path.dirname(os.path.abspath(args.ckpt))
+    ).restore_params(template, args.ckpt)
+
+    engine = ServingEngine(
+        model, params,
+        num_actors=num_actors, num_lanes=num_lanes,
+        engine=args.engine, increments=args.increments,
+        max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
+        is_gtabs=is_gtabs, ref_time=int(cfg.model_kwargs.get("ref_time", 20)),
+    )
+    os.makedirs(args.output_dir, exist_ok=True)
+    if args.warmup:
+        engine.warmup(example_raw)
+
+    def write(result: dict, stem: str) -> str:
+        out_path = os.path.join(args.output_dir, f"{stem}_pred.npz")
+        np.savez(
+            out_path,
+            loc=result["loc"], pi=result["pi"],
+            agent_world=result["agent_world"], agent_pi=result["agent_pi"],
+            seq_id=result["seq_id"],
+        )
+        return out_path
+
+    if args.daemon:
+        reqs = [first_req]
+
+        def lines():
+            yield from reqs
+            for line in sys.stdin:
+                if line.strip():
+                    yield json.loads(line)
+
+        pending = []
+        for req in lines():
+            fut = engine.submit(load_raw(req["npz"]))
+            pending.append((req["id"], req["npz"], fut))
+            # answer in submission order as results land
+            while pending and pending[0][2].done():
+                rid, path, f = pending.pop(0)
+                stem = os.path.splitext(os.path.basename(path))[0]
+                print(json.dumps({"id": rid, "out": write(f.result(), stem)}),
+                      flush=True)
+        for rid, path, f in pending:
+            stem = os.path.splitext(os.path.basename(path))[0]
+            print(json.dumps({"id": rid, "out": write(f.result(), stem)}),
+                  flush=True)
+    else:
+        futs = [(p, engine.submit(load_raw(p))) for p in paths]
+        for p, f in futs:
+            write(f.result(), os.path.splitext(os.path.basename(p))[0])
+    stats = engine.stats()
+    engine.close()
+    print(json.dumps(stats))
+
+
+if __name__ == "__main__":
+    main()

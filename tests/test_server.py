@@ -1,0 +1,168 @@
+"""Serving engine: bucketed micro-batching, determinism, stats, CLI."""
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+import jax
+import numpy as np
+import pytest
+
+from trajsde_tpu.data.synthetic import make_raw_scene, make_scene_batch
+from trajsde_tpu.server import ServingEngine
+
+from test_models_forward import make_sde
+
+A, L = 8, 12
+
+
+@pytest.fixture(scope="module")
+def engine_setup():
+    rng = np.random.default_rng(0)
+    model = make_sde()
+    scene = make_scene_batch(rng, batch_size=1, num_actors=A, num_lanes=L)
+    params = jax.jit(model.init)(
+        {"params": jax.random.key(0), "sde": jax.random.key(1)}, scene
+    )["params"]
+    return model, params
+
+
+def _mk_engine(model, params, **kw):
+    kw.setdefault("num_actors", A)
+    kw.setdefault("num_lanes", L)
+    kw.setdefault("engine", "scan")  # CPU-friendly exact forward
+    kw.setdefault("batch_buckets", (1, 2, 4))
+    return ServingEngine(model, params, **kw)
+
+
+def test_predict_contract_and_bucketing(engine_setup, rng):
+    model, params = engine_setup
+    eng = _mk_engine(model, params)
+    scenes = [make_raw_scene(rng, s % 2, num_actors=5, num_lanes=6) for s in range(3)]
+    out = eng.predict(scenes)  # 3 → bucket 4, padded with a copy
+    assert len(out) == 3
+    K, Tf = model.decoder.num_modes, model.decoder.future_steps
+    for r in out:
+        assert r["loc"].shape == (K, A, Tf, 2)
+        assert r["pi"].shape == (A, K)
+        assert r["agent_world"].shape == (K, Tf, 2)
+        assert r["agent_pi"].shape == (K,)
+        np.testing.assert_allclose(r["agent_pi"].sum(), 1.0, rtol=1e-5)
+        assert np.isfinite(r["loc"]).all() and np.isfinite(r["agent_world"]).all()
+    eng.close()
+
+
+def test_predict_is_deterministic_per_counter(engine_setup, rng):
+    model, params = engine_setup
+    scenes = [make_raw_scene(rng, 0, num_actors=5, num_lanes=6) for _ in range(2)]
+    outs = []
+    for _ in range(2):  # fresh engine → same key counter → same noise draw
+        eng = _mk_engine(model, params, seed=7)
+        outs.append(eng.predict(scenes))
+        eng.close()
+    for a, b in zip(*outs):
+        np.testing.assert_array_equal(a["loc"], b["loc"])
+        np.testing.assert_array_equal(a["agent_world"], b["agent_world"])
+
+
+def test_agent_world_frame_round_trip(engine_setup, rng):
+    """agent_world must be the agent-frame modes rotated by the agent's
+    heading and offset by its reference-time position (``test.py``'s
+    submission math)."""
+    model, params = engine_setup
+    eng = _mk_engine(model, params, seed=3)
+    raw = make_raw_scene(rng, 0, num_actors=5, num_lanes=6)
+    (r,) = eng.predict([raw])
+    eng.close()
+
+    from trajsde_tpu.data.grid import align_to_grid
+    from trajsde_tpu.data.pack import pack_scenes
+
+    scene = pack_scenes([align_to_grid(dict(raw, source=0))], A, L)
+    ai = int(np.asarray(scene.agent_index)[0])
+    ang = float(np.asarray(scene.rotate_angles)[0, ai])
+    c, s = np.cos(ang), np.sin(ang)
+    rot_t = np.array([[c, s], [-s, c]], np.float32)
+    origin = np.asarray(scene.positions)[0, ai, 20]
+    expect = r["loc"][:, ai] @ rot_t + origin
+    np.testing.assert_allclose(r["agent_world"], expect, atol=1e-4)
+
+
+def test_micro_batcher_groups_and_stats(engine_setup, rng):
+    model, params = engine_setup
+    eng = _mk_engine(model, params, max_wait_ms=200.0)
+    eng.warmup(make_raw_scene(rng, 0, num_actors=5, num_lanes=6))
+    scenes = [make_raw_scene(rng, s % 2, num_actors=5, num_lanes=6) for s in range(5)]
+    futs = [eng.submit(s) for s in scenes]
+    results = [f.result(timeout=120) for f in futs]
+    assert all(np.isfinite(r["agent_world"]).all() for r in results)
+    st = eng.stats()
+    assert st["served"] >= 5
+    assert st["p50_ms"] > 0 and st["p99_ms"] >= st["p50_ms"]
+    # the 200 ms window must have grouped concurrent requests
+    assert st["mean_batch"] > 1.0
+    eng.close()
+    with pytest.raises(RuntimeError):
+        eng.submit(scenes[0])
+
+
+def test_submit_propagates_errors(engine_setup):
+    model, params = engine_setup
+    eng = _mk_engine(model, params)
+    fut = eng.submit({"not": np.zeros(1)})  # malformed scene
+    with pytest.raises(Exception):
+        fut.result(timeout=120)
+    eng.close()
+
+
+@pytest.mark.slow
+def test_serve_cli_batch_and_daemon(tmp_path, rng):
+    from test_cli import ENV, _make_config, _make_data
+
+    _make_data(tmp_path, rng)
+    cfg = _make_config(tmp_path)
+
+    # train one epoch to get a checkpoint
+    r = subprocess.run(
+        [sys.executable, "train.py", "-c", cfg, "-n", "srv", "--epochs", "1",
+         "--logdir", str(tmp_path / "logs")],
+        env=ENV, capture_output=True, text=True, timeout=1200,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    ckpt = str(tmp_path / "logs" / "srv" / "checkpoints" / "step_00000002")
+
+    in_dir = str(tmp_path / "data" / "nuScenes" / "val")
+    out_dir = str(tmp_path / "preds")
+    r = subprocess.run(
+        [sys.executable, "serve.py", "-c", cfg, "--ckpt", ckpt,
+         "--input-dir", in_dir, "--output-dir", out_dir,
+         "--num-actors", "6", "--num-lanes", "8", "--max-batch", "4"],
+        env=ENV, capture_output=True, text=True, timeout=1200,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    stats = json.loads(r.stdout.strip().splitlines()[-1])
+    assert stats["served"] == 4
+    preds = sorted(os.listdir(out_dir))
+    assert len(preds) == 4
+    d = np.load(os.path.join(out_dir, preds[0]))
+    assert d["agent_world"].shape[-1] == 2 and np.isfinite(d["agent_world"]).all()
+
+    # daemon mode: two requests over stdin
+    reqs = "".join(
+        json.dumps({"id": f"r{i}", "npz": os.path.join(in_dir, f"s{i}.npz")}) + "\n"
+        for i in range(2)
+    )
+    r = subprocess.run(
+        [sys.executable, "serve.py", "-c", cfg, "--ckpt", ckpt, "--daemon",
+         "--output-dir", str(tmp_path / "preds2"),
+         "--num-actors", "6", "--num-lanes", "8"],
+        input=reqs, env=ENV, capture_output=True, text=True, timeout=1200,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    lines = [json.loads(l) for l in r.stdout.strip().splitlines()]
+    replies = [l for l in lines if "id" in l]
+    assert {l["id"] for l in replies} == {"r0", "r1"}
+    for l in replies:
+        assert os.path.exists(l["out"])

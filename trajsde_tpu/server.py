@@ -1,0 +1,279 @@
+"""Production serving engine: bucketed micro-batching over the jitted model.
+
+The reference has no serving story beyond ``trainer.test`` (its L2 layer,
+``/root/reference/test.py:58``); this subsystem is the deployment analog
+this framework adds.  It wraps either serving engine —
+
+- ``"kernel"``: the VMEM-resident Pallas rollout
+  (:func:`trajsde_tpu.serving.make_serving_fn`; Rademacher increments are
+  the measured-fastest path, metric-equivalent to gaussian at K=10 —
+  PERF.md "Serving-engine metric equivalence"), or
+- ``"scan"``: the exact training-path forward (XLA scan, gaussian path
+  law)
+
+— behind a request API with TPU-friendly batching discipline:
+
+- **bucketed shapes**: requests are padded to the next power-of-two
+  batch bucket so XLA compiles a handful of executables once instead of
+  one per request count (the same discipline as the training loader's
+  actor/lane buckets, ``data/loader.py:170-180``);
+- **micro-batching**: a background worker drains the request queue up to
+  ``max_batch`` or ``max_wait_ms``, so concurrent callers share one
+  device dispatch (PyG DataLoader has no serving analog);
+- **latency accounting**: per-request submit→result wall times, batch
+  occupancy, p50/p99 (``stats()``).
+
+Single-scene use is ``predict([raw_scene])``; concurrent producers use
+``submit(raw_scene) -> Future``.  Raw scenes are preprocessor-output
+dicts (the ``.npz`` shard schema) — the engine applies the SAME runtime
+grid alignment as training (``data/grid.py:align_to_grid``) so serving
+inputs need no separate pipeline.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from typing import Any, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from trajsde_tpu.data.grid import align_to_grid
+from trajsde_tpu.data.pack import pack_scenes
+
+
+def _pick_bucket(n: int, buckets: Sequence[int]) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    return buckets[-1]
+
+
+class ServingEngine:
+    def __init__(
+        self,
+        model,
+        params: Dict[str, Any],
+        *,
+        num_actors: int,
+        num_lanes: int,
+        engine: str = "auto",
+        increments: str = "rademacher",
+        batch_buckets: Sequence[int] = (1, 2, 4, 8, 16, 32, 64, 128),
+        max_batch: Optional[int] = None,
+        max_wait_ms: float = 5.0,
+        is_gtabs: bool = True,
+        ref_time: int = 20,
+        seed: int = 0,
+    ) -> None:
+        if engine == "auto":
+            engine = "kernel" if jax.default_backend() == "tpu" else "scan"
+        if engine not in ("kernel", "scan"):
+            raise ValueError(f"unknown serving engine {engine!r}")
+        self.engine = engine
+        self.num_actors = num_actors
+        self.num_lanes = num_lanes
+        self.is_gtabs = is_gtabs
+        self.max_wait_ms = max_wait_ms
+        self.buckets = tuple(
+            b for b in sorted(batch_buckets) if max_batch is None or b <= max_batch
+        ) or (1,)
+        self.max_batch = self.buckets[-1]
+        self._model = model
+        self._ref_time = ref_time
+        self._key = jax.random.key(seed)
+        self._counter = 0
+
+        if engine == "kernel":
+            from trajsde_tpu.serving import make_serving_fn
+
+            dec = model.decoder
+            self._kdims = (dec.future_steps, dec.num_modes, dec.local_channels)
+            self._serve = make_serving_fn(
+                model,
+                {"params": params},
+                interpret=jax.default_backend() != "tpu",
+                increments=increments,
+            )
+        else:
+            self._params = params
+
+            @jax.jit
+            def _fwd(scene, key):
+                return model.apply({"params": params}, scene, rngs={"sde": key})
+
+            self._serve = _fwd
+
+        # focal-agent world-frame projection (the submission math,
+        # ``test.py`` --submit): agent modes rotated back out of the agent
+        # frame and offset by the reference-time origin
+        from trajsde_tpu.train.loop import gather_agent
+
+        @jax.jit
+        def _postprocess(scene, out):
+            loc = out["loc"][..., :2]
+            if not self.is_gtabs:  # delta targets → cumulative absolute
+                loc = jnp.cumsum(loc, axis=-2)
+            idx = scene.agent_index
+            agent_loc = gather_agent(loc, idx, axis=2)  # [B, K, Tf, 2]
+            ang = gather_agent(scene.rotate_angles, idx, axis=1)
+            c, s = jnp.cos(ang), jnp.sin(ang)
+            rot_t = jnp.stack([jnp.stack([c, s], -1), jnp.stack([-s, c], -1)], -2)
+            origin = gather_agent(scene.positions[:, :, self._ref_time], idx, axis=1)
+            world = (
+                jnp.einsum("bktj,bji->bkti", agent_loc, rot_t)
+                + origin[:, None, None]
+            )
+            pi = jax.nn.softmax(gather_agent(out["pi"], idx, axis=1), axis=-1)  # [B, K]
+            return {"loc": loc, "pi_all": out["pi"], "agent_world": world,
+                    "agent_pi": pi}
+
+        self._post = _postprocess
+
+        self._lock = threading.Lock()
+        self._latencies: List[float] = []
+        self._batch_sizes: List[int] = []
+        self._t_first: Optional[float] = None
+        self._t_last: Optional[float] = None
+        self._served = 0
+
+        self._q: "queue.Queue" = queue.Queue()
+        self._closed = False
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+
+    # ------------------------------------------------------------------ API
+    def predict(self, raw_scenes: List[Dict[str, np.ndarray]]) -> List[Dict]:
+        """Synchronous batched prediction (pads to the covering bucket)."""
+        out: List[Dict] = []
+        for i in range(0, len(raw_scenes), self.max_batch):
+            out.extend(self._run_batch(raw_scenes[i : i + self.max_batch]))
+        return out
+
+    def submit(self, raw_scene: Dict[str, np.ndarray]) -> Future:
+        """Enqueue one scene; the micro-batcher groups concurrent requests."""
+        if self._closed:
+            raise RuntimeError("engine is closed")
+        fut: Future = Future()
+        self._q.put((raw_scene, fut, time.perf_counter()))
+        return fut
+
+    def warmup(self, raw_scene: Dict[str, np.ndarray],
+               buckets: Optional[Sequence[int]] = None) -> None:
+        """Compile the executables for the given batch buckets upfront."""
+        for b in buckets or self.buckets:
+            self._run_batch([raw_scene] * b, record=False)
+
+    def stats(self) -> Dict[str, float]:
+        with self._lock:
+            lat = np.asarray(self._latencies, np.float64) * 1e3
+            span = (
+                (self._t_last - self._t_first)
+                if self._served > 1 and self._t_last and self._t_first
+                else None
+            )
+            return {
+                "served": self._served,
+                "p50_ms": float(np.percentile(lat, 50)) if lat.size else None,
+                "p99_ms": float(np.percentile(lat, 99)) if lat.size else None,
+                "mean_batch": (
+                    float(np.mean(self._batch_sizes)) if self._batch_sizes else None
+                ),
+                "scenes_per_sec": (self._served / span) if span else None,
+            }
+
+    def close(self) -> None:
+        self._closed = True
+        self._q.put(None)
+        self._worker.join(timeout=30)
+
+    # ---------------------------------------------------------------- internals
+    def _next_key(self):
+        self._counter += 1
+        return jax.random.fold_in(self._key, self._counter)
+
+    def _run_batch(self, raw_scenes: List[Dict], record: bool = True) -> List[Dict]:
+        n = len(raw_scenes)
+        bucket = _pick_bucket(n, self.buckets)
+        padded = list(raw_scenes) + [raw_scenes[-1]] * (bucket - n)
+        aligned = [
+            align_to_grid(dict(s, source=s.get("source", np.int32(0))),
+                          is_gtabs=self.is_gtabs)
+            for s in padded
+        ]
+        scene = pack_scenes(aligned, self.num_actors, self.num_lanes)
+        key = self._next_key()
+        if self.engine == "kernel":
+            seed = jax.random.randint(key, (), 0, jnp.iinfo(jnp.int32).max)
+            noise = None
+            if jax.default_backend() != "tpu":
+                Tf, K, D = self._kdims
+                noise = jax.random.normal(
+                    jax.random.fold_in(key, 1),
+                    (Tf, bucket * K * self.num_actors, D),
+                    jnp.float32,
+                )
+            out = self._serve(scene, key, seed, noise)
+        else:
+            out = self._serve(scene, key)
+        post = jax.device_get(self._post(scene, out))
+        if record:
+            now = time.perf_counter()
+            with self._lock:
+                self._batch_sizes.append(n)
+                self._served += n
+                if self._t_first is None:
+                    self._t_first = now
+                self._t_last = now
+        results = []
+        for i in range(n):
+            results.append(
+                {
+                    "loc": post["loc"][i],
+                    "pi": post["pi_all"][i],
+                    "agent_world": post["agent_world"][i],
+                    "agent_pi": post["agent_pi"][i],
+                    "seq_id": np.asarray(scene.seq_id)[i]
+                    if scene.seq_id is not None
+                    else np.int32(i),
+                }
+            )
+        return results
+
+    def _run(self) -> None:
+        while True:
+            item = self._q.get()
+            if item is None:
+                return
+            batch = [item]
+            deadline = time.perf_counter() + self.max_wait_ms / 1e3
+            while len(batch) < self.max_batch:
+                left = deadline - time.perf_counter()
+                if left <= 0:
+                    break
+                try:
+                    nxt = self._q.get(timeout=left)
+                except queue.Empty:
+                    break
+                if nxt is None:
+                    self._q.put(None)  # re-post the sentinel for shutdown
+                    break
+                batch.append(nxt)
+            scenes = [b[0] for b in batch]
+            futs = [b[1] for b in batch]
+            starts = [b[2] for b in batch]
+            try:
+                results = self._run_batch(scenes)
+            except Exception as e:  # propagate to every waiting caller
+                for f in futs:
+                    if not f.done():
+                        f.set_exception(e)
+                continue
+            done = time.perf_counter()
+            with self._lock:
+                self._latencies.extend(done - s for s in starts)
+            for f, r in zip(futs, results):
+                f.set_result(r)
