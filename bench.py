@@ -164,6 +164,34 @@ def main() -> None:
     except Exception as e:  # record the failure rather than losing the headline
         record["production_error"] = repr(e)[:200]
 
+    # serving throughput (kernel engine, Rademacher increments — the
+    # shipped serving default; PERF.md "Serving engine benched")
+    try:
+        from trajsde_tpu.serving import make_serving_fn
+
+        serve = make_serving_fn(model, {"params": state.params})
+
+        @jax.jit
+        def run_serve(scene, key):
+            def body(i, acc):
+                k = jax.random.fold_in(key, i)
+                seed = jax.random.randint(k, (), 0, jnp.iinfo(jnp.int32).max)
+                out = serve(scene, k, seed)
+                return acc + jnp.sum(out["loc"].astype(jnp.float32))
+
+            return jax.lax.fori_loop(0, ITERS, body, 0.0)
+
+        v = float(run_serve(scene, jax.random.key(7)))  # warmup
+        assert np.isfinite(v)
+        t0 = time.perf_counter()
+        v = float(run_serve(scene, jax.random.key(8)))
+        sdt = time.perf_counter() - t0
+        assert np.isfinite(v)
+        record["serving_ms_per_batch"] = round(sdt / ITERS * 1000, 2)
+        record["serving_scenes_per_sec"] = round(BATCH * ITERS / sdt, 1)
+    except Exception as e:
+        record["serving_error"] = repr(e)[:200]
+
     print(json.dumps(record))
 
 
