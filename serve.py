@@ -43,6 +43,9 @@ def main() -> None:
     ap.add_argument("--num-lanes", type=int, default=None)
     ap.add_argument("--warmup", action="store_true",
                     help="compile every batch bucket before serving")
+    ap.add_argument("--shard", action="store_true",
+                    help="shard each batch bucket over all devices "
+                         "(data-parallel serving; scan engine only)")
     args = ap.parse_args()
     if not args.daemon and not args.input_dir:
         ap.error("either --input-dir or --daemon is required")
@@ -104,6 +107,7 @@ def main() -> None:
         engine=args.engine, increments=args.increments,
         max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
         is_gtabs=is_gtabs, ref_time=int(cfg.model_kwargs.get("ref_time", 20)),
+        shard=args.shard,
     )
     os.makedirs(args.output_dir, exist_ok=True)
     if args.warmup:

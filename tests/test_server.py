@@ -108,6 +108,39 @@ def test_micro_batcher_groups_and_stats(engine_setup, rng):
         eng.submit(scenes[0])
 
 
+def test_sharded_serving_matches_unsharded(engine_setup, rng):
+    """shard=True partitions each bucket over the data mesh; results must be
+    bit-comparable to the single-device path (same key counter → same noise),
+    up to cross-device reduction reassociation."""
+    model, params = engine_setup
+    scenes = [make_raw_scene(rng, s % 2, num_actors=5, num_lanes=6) for s in range(4)]
+    outs = []
+    for shard in (False, True):
+        eng = _mk_engine(model, params, seed=11, shard=shard)
+        if shard:
+            # bucket 4 on 8 virtual devices → gcd gives a 4-wide data mesh
+            from trajsde_tpu.parallel.mesh import DATA_AXIS
+
+            assert eng._meshes[4].shape[DATA_AXIS] == 4
+            assert eng._meshes[1].shape[DATA_AXIS] == 1
+        outs.append(eng.predict(scenes))
+        eng.close()
+    for a, b in zip(*outs):
+        np.testing.assert_allclose(a["loc"], b["loc"], atol=1e-5)
+        np.testing.assert_allclose(a["agent_world"], b["agent_world"], atol=1e-4)
+        np.testing.assert_allclose(a["agent_pi"], b["agent_pi"], atol=1e-5)
+
+
+def test_shard_requires_scan_engine(engine_setup):
+    model, params = engine_setup
+    with pytest.raises(ValueError, match="scan"):
+        _mk_engine(model, params, engine="kernel", shard=True)
+    # auto + shard resolves to scan instead of failing
+    eng = _mk_engine(model, params, engine="auto", shard=True)
+    assert eng.engine == "scan"
+    eng.close()
+
+
 def test_submit_propagates_errors(engine_setup):
     model, params = engine_setup
     eng = _mk_engine(model, params)

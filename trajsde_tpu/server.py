@@ -21,7 +21,13 @@ this framework adds.  It wraps either serving engine —
   ``max_batch`` or ``max_wait_ms``, so concurrent callers share one
   device dispatch (PyG DataLoader has no serving analog);
 - **latency accounting**: per-request submit→result wall times, batch
-  occupancy, p50/p99 (``stats()``).
+  occupancy, p50/p99 (``stats()``);
+- **multi-chip data parallelism** (``shard=True``): each padded bucket is
+  placed scene-sharded over a per-bucket data mesh
+  (:func:`trajsde_tpu.parallel.mesh.make_mesh_for_batch`) and the jitted
+  scan forward is partitioned by GSPMD — params replicate, activations
+  split, results gather back on the host.  Scan engine only: the Pallas
+  kernel is an opaque custom call the partitioner cannot split.
 
 Single-scene use is ``predict([raw_scene])``; concurrent producers use
 ``submit(raw_scene) -> Future``.  Raw scenes are preprocessor-output
@@ -67,12 +73,25 @@ class ServingEngine:
         max_wait_ms: float = 5.0,
         is_gtabs: bool = True,
         ref_time: int = 20,
+        shard: bool = False,
         seed: int = 0,
     ) -> None:
         if engine == "auto":
-            engine = "kernel" if jax.default_backend() == "tpu" else "scan"
+            # sharded serving partitions the jitted scan forward with GSPMD;
+            # the Pallas kernel is an opaque custom call XLA cannot split
+            engine = (
+                "scan"
+                if shard
+                else ("kernel" if jax.default_backend() == "tpu" else "scan")
+            )
         if engine not in ("kernel", "scan"):
             raise ValueError(f"unknown serving engine {engine!r}")
+        if shard and engine == "kernel":
+            raise ValueError(
+                "shard=True requires the 'scan' engine: the Pallas serving "
+                "kernel is an opaque custom call the SPMD partitioner cannot "
+                "split across devices"
+            )
         self.engine = engine
         self.num_actors = num_actors
         self.num_lanes = num_lanes
@@ -86,6 +105,16 @@ class ServingEngine:
         self._ref_time = ref_time
         self._key = jax.random.key(seed)
         self._counter = 0
+        # data-parallel serving: shard each bucket over the data mesh (per
+        # bucket, since the gcd device count depends on the batch size);
+        # XLA splits the whole forward across chips, results gather back
+        self._meshes = {}
+        if shard:
+            from trajsde_tpu.parallel import mesh as mesh_lib
+
+            self._mesh_lib = mesh_lib
+            for b in self.buckets:
+                self._meshes[b] = mesh_lib.make_mesh_for_batch(b)
 
         if engine == "kernel":
             from trajsde_tpu.serving import make_serving_fn
@@ -205,6 +234,8 @@ class ServingEngine:
             for s in padded
         ]
         scene = pack_scenes(aligned, self.num_actors, self.num_lanes)
+        if bucket in self._meshes:
+            scene = self._mesh_lib.shard_batch(scene, self._meshes[bucket])
         key = self._next_key()
         if self.engine == "kernel":
             seed = jax.random.randint(key, (), 0, jnp.iinfo(jnp.int32).max)
