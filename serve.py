@@ -28,8 +28,8 @@ import sys
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("-c", "--config", required=True)
-    ap.add_argument("--ckpt", required=True)
+    ap.add_argument("-c", "--config", default=None)
+    ap.add_argument("--ckpt", default=None)
     ap.add_argument("--input-dir", default=None)
     ap.add_argument("--output-dir", required=True)
     ap.add_argument("--daemon", action="store_true",
@@ -46,9 +46,25 @@ def main() -> None:
     ap.add_argument("--shard", action="store_true",
                     help="shard each batch bucket over all devices "
                          "(data-parallel serving; scan engine only)")
+    ap.add_argument("--export", default=None, metavar="DIR",
+                    help="serialize the serving pipeline (StableHLO per "
+                         "batch bucket, weights baked in) and exit")
+    ap.add_argument("--export-platforms", default=None,
+                    help="comma list (e.g. cpu,tpu) for a multi-platform "
+                         "artifact; default = current backend")
+    ap.add_argument("--from-export", default=None, metavar="DIR",
+                    help="serve from an --export artifact: no config, "
+                         "checkpoint, or model build needed")
     args = ap.parse_args()
     if not args.daemon and not args.input_dir:
         ap.error("either --input-dir or --daemon is required")
+    if args.from_export is None and (args.config is None or args.ckpt is None):
+        ap.error("-c/--config and --ckpt are required unless --from-export")
+    if args.from_export and args.export:
+        ap.error("--export needs the real model; it cannot re-export an artifact")
+    if args.from_export and args.shard:
+        ap.error("--shard requires the scan engine; export artifacts are "
+                 "opaque to the SPMD partitioner")
 
     if os.environ.get("TRAJSDE_FORCE_CPU"):
         import jax
@@ -64,20 +80,11 @@ def main() -> None:
     from trajsde_tpu.server import ServingEngine
     from trajsde_tpu.train.checkpoint import CheckpointManager
 
-    cfg = load_config(args.config)
-    dm = cfg.datamodule
-    num_actors = args.num_actors or int(dm.get("num_actors", 48))
-    num_lanes = args.num_lanes or int(dm.get("num_lanes", 192))
-    is_gtabs = (dm.get("test_dataset_args") or {}).get("is_gtabs", True)
-
-    model = build_model(cfg)
-
     def load_raw(path: str) -> dict:
         if not os.path.exists(path):
             raise FileNotFoundError(path)
         return load_scene_npz(path)
 
-    # params template from one example scene (weights-only restore)
     if args.input_dir:
         paths = sorted(glob.glob(os.path.join(args.input_dir, "*.npz")))
         if not paths:
@@ -89,26 +96,60 @@ def main() -> None:
             raise SystemExit("daemon mode: no request on stdin")
         first_req = json.loads(first_line)
         example_raw = load_raw(first_req["npz"])
-    example = pack_scenes(
-        [align_to_grid(dict(example_raw, source=example_raw.get("source", 0)),
-                       is_gtabs=is_gtabs)],
-        num_actors, num_lanes,
-    )
-    template = jax.jit(model.init)(
-        {"params": jax.random.key(0), "sde": jax.random.key(1)}, example
-    )["params"]
-    params = CheckpointManager(
-        os.path.dirname(os.path.abspath(args.ckpt))
-    ).restore_params(template, args.ckpt)
 
-    engine = ServingEngine(
-        model, params,
-        num_actors=num_actors, num_lanes=num_lanes,
-        engine=args.engine, increments=args.increments,
-        max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
-        is_gtabs=is_gtabs, ref_time=int(cfg.model_kwargs.get("ref_time", 20)),
-        shard=args.shard,
-    )
+    if args.from_export:
+        engine = ServingEngine.from_export(
+            args.from_export,
+            max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
+        )
+    else:
+        cfg = load_config(args.config)
+        dm = cfg.datamodule
+        num_actors = args.num_actors or int(dm.get("num_actors", 48))
+        num_lanes = args.num_lanes or int(dm.get("num_lanes", 192))
+        is_gtabs = (dm.get("test_dataset_args") or {}).get("is_gtabs", True)
+        ref_time = int(cfg.model_kwargs.get("ref_time", 20))
+
+        model = build_model(cfg)
+
+        # params template from one example scene (weights-only restore)
+        example = pack_scenes(
+            [align_to_grid(dict(example_raw,
+                                source=example_raw.get("source", 0)),
+                           is_gtabs=is_gtabs)],
+            num_actors, num_lanes,
+        )
+        template = jax.jit(model.init)(
+            {"params": jax.random.key(0), "sde": jax.random.key(1)}, example
+        )["params"]
+        params = CheckpointManager(
+            os.path.dirname(os.path.abspath(args.ckpt))
+        ).restore_params(template, args.ckpt)
+
+        engine = ServingEngine(
+            model, params,
+            num_actors=num_actors, num_lanes=num_lanes,
+            engine=args.engine, increments=args.increments,
+            max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
+            is_gtabs=is_gtabs, ref_time=ref_time,
+            shard=args.shard,
+        )
+
+    if args.export:
+        from trajsde_tpu.deploy import export_serving
+
+        manifest = export_serving(
+            model, params, example, args.export,
+            buckets=engine.buckets, is_gtabs=is_gtabs, ref_time=ref_time,
+            platforms=(args.export_platforms.split(",")
+                       if args.export_platforms else None),
+        )
+        engine.close()
+        print(json.dumps({"exported": os.path.abspath(args.export),
+                          "buckets": manifest["buckets"],
+                          "platforms": manifest["platforms"]}))
+        return
+
     os.makedirs(args.output_dir, exist_ok=True)
     if args.warmup:
         engine.warmup(example_raw)

@@ -58,6 +58,34 @@ def _pick_bucket(n: int, buckets: Sequence[int]) -> int:
     return buckets[-1]
 
 
+def make_postprocess(is_gtabs: bool, ref_time: int):
+    """Focal-agent world-frame projection (the submission math, ``test.py``
+    --submit): agent modes rotated back out of the agent frame and offset
+    by the reference-time origin."""
+    from trajsde_tpu.train.loop import gather_agent
+
+    @jax.jit
+    def _postprocess(scene, out):
+        loc = out["loc"][..., :2]
+        if not is_gtabs:  # delta targets → cumulative absolute
+            loc = jnp.cumsum(loc, axis=-2)
+        idx = scene.agent_index
+        agent_loc = gather_agent(loc, idx, axis=2)  # [B, K, Tf, 2]
+        ang = gather_agent(scene.rotate_angles, idx, axis=1)
+        c, s = jnp.cos(ang), jnp.sin(ang)
+        rot_t = jnp.stack([jnp.stack([c, s], -1), jnp.stack([-s, c], -1)], -2)
+        origin = gather_agent(scene.positions[:, :, ref_time], idx, axis=1)
+        world = (
+            jnp.einsum("bktj,bji->bkti", agent_loc, rot_t)
+            + origin[:, None, None]
+        )
+        pi = jax.nn.softmax(gather_agent(out["pi"], idx, axis=1), axis=-1)  # [B, K]
+        return {"loc": loc, "pi_all": out["pi"], "agent_world": world,
+                "agent_pi": pi}
+
+    return _postprocess
+
+
 class ServingEngine:
     def __init__(
         self,
@@ -84,13 +112,13 @@ class ServingEngine:
                 if shard
                 else ("kernel" if jax.default_backend() == "tpu" else "scan")
             )
-        if engine not in ("kernel", "scan"):
+        if engine not in ("kernel", "scan", "exported"):
             raise ValueError(f"unknown serving engine {engine!r}")
-        if shard and engine == "kernel":
+        if shard and engine != "scan":
             raise ValueError(
                 "shard=True requires the 'scan' engine: the Pallas serving "
-                "kernel is an opaque custom call the SPMD partitioner cannot "
-                "split across devices"
+                "kernel and deserialized export artifacts are opaque calls "
+                "the SPMD partitioner cannot split across devices"
             )
         self.engine = engine
         self.num_actors = num_actors
@@ -116,7 +144,13 @@ class ServingEngine:
             for b in self.buckets:
                 self._meshes[b] = mesh_lib.make_mesh_for_batch(b)
 
-        if engine == "kernel":
+        if engine == "exported":
+            # ``model`` is a loaded deploy.ExportedServing: a frozen
+            # StableHLO pipeline (forward + world-frame postprocess with the
+            # weights baked in), so no flax tracing and no separate _post
+            self._serve = model
+            self._post = lambda scene, out: out
+        elif engine == "kernel":
             from trajsde_tpu.serving import make_serving_fn
 
             dec = model.decoder
@@ -136,31 +170,8 @@ class ServingEngine:
 
             self._serve = _fwd
 
-        # focal-agent world-frame projection (the submission math,
-        # ``test.py`` --submit): agent modes rotated back out of the agent
-        # frame and offset by the reference-time origin
-        from trajsde_tpu.train.loop import gather_agent
-
-        @jax.jit
-        def _postprocess(scene, out):
-            loc = out["loc"][..., :2]
-            if not self.is_gtabs:  # delta targets → cumulative absolute
-                loc = jnp.cumsum(loc, axis=-2)
-            idx = scene.agent_index
-            agent_loc = gather_agent(loc, idx, axis=2)  # [B, K, Tf, 2]
-            ang = gather_agent(scene.rotate_angles, idx, axis=1)
-            c, s = jnp.cos(ang), jnp.sin(ang)
-            rot_t = jnp.stack([jnp.stack([c, s], -1), jnp.stack([-s, c], -1)], -2)
-            origin = gather_agent(scene.positions[:, :, self._ref_time], idx, axis=1)
-            world = (
-                jnp.einsum("bktj,bji->bkti", agent_loc, rot_t)
-                + origin[:, None, None]
-            )
-            pi = jax.nn.softmax(gather_agent(out["pi"], idx, axis=1), axis=-1)  # [B, K]
-            return {"loc": loc, "pi_all": out["pi"], "agent_world": world,
-                    "agent_pi": pi}
-
-        self._post = _postprocess
+        if engine != "exported":
+            self._post = make_postprocess(self.is_gtabs, self._ref_time)
 
         self._lock = threading.Lock()
         self._latencies: List[float] = []
@@ -175,6 +186,37 @@ class ServingEngine:
         self._worker.start()
 
     # ------------------------------------------------------------------ API
+    @classmethod
+    def from_export(
+        cls,
+        path: str,
+        *,
+        max_batch: Optional[int] = None,
+        max_wait_ms: float = 5.0,
+        seed: int = 0,
+    ) -> "ServingEngine":
+        """Serve from a :mod:`trajsde_tpu.deploy` artifact directory.
+
+        No config, checkpoint, or model code needed: buckets, packing
+        dimensions, and the full compute pipeline come from the artifact.
+        """
+        from trajsde_tpu.deploy import load_serving
+
+        exp = load_serving(path)
+        return cls(
+            exp,
+            None,
+            num_actors=exp.num_actors,
+            num_lanes=exp.num_lanes,
+            engine="exported",
+            batch_buckets=exp.buckets,
+            max_batch=max_batch,
+            max_wait_ms=max_wait_ms,
+            is_gtabs=exp.is_gtabs,
+            ref_time=exp.ref_time,
+            seed=seed,
+        )
+
     def predict(self, raw_scenes: List[Dict[str, np.ndarray]]) -> List[Dict]:
         """Synchronous batched prediction (pads to the covering bucket)."""
         out: List[Dict] = []
