@@ -199,3 +199,35 @@ def test_serve_cli_batch_and_daemon(tmp_path, rng):
     assert {l["id"] for l in replies} == {"r0", "r1"}
     for l in replies:
         assert os.path.exists(l["out"])
+
+    # export the pipeline, then serve from the artifact with NO config or
+    # checkpoint; long batching window on both runs so the micro-batcher
+    # groups identically (grouping changes the key stream)
+    art = str(tmp_path / "artifact")
+    r = subprocess.run(
+        [sys.executable, "serve.py", "-c", cfg, "--ckpt", ckpt,
+         "--input-dir", in_dir, "--output-dir", str(tmp_path / "unused"),
+         "--num-actors", "6", "--num-lanes", "8", "--max-batch", "4",
+         "--export", art],
+        env=ENV, capture_output=True, text=True, timeout=1200,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert json.loads(r.stdout.strip().splitlines()[-1])["buckets"] == [1, 2, 4]
+
+    out_ref = str(tmp_path / "preds_ref")
+    out_exp = str(tmp_path / "preds_exp")
+    for extra, out_dir2 in (
+        (["-c", cfg, "--ckpt", ckpt, "--num-actors", "6", "--num-lanes", "8"],
+         out_ref),
+        (["--from-export", art], out_exp),
+    ):
+        r = subprocess.run(
+            [sys.executable, "serve.py", *extra, "--input-dir", in_dir,
+             "--output-dir", out_dir2, "--max-batch", "4",
+             "--max-wait-ms", "20000"],
+            env=ENV, capture_output=True, text=True, timeout=1200,
+        )
+        assert r.returncode == 0, r.stderr[-3000:]
+    for f in sorted(os.listdir(out_exp)):
+        a, b = np.load(os.path.join(out_exp, f)), np.load(os.path.join(out_ref, f))
+        np.testing.assert_allclose(a["agent_world"], b["agent_world"], atol=1e-4)
