@@ -106,6 +106,12 @@ def main() -> None:
     # trajectories (``model_base_mix.py:143-145``)
     is_gtabs = (cfg.datamodule.get("test_dataset_args") or {}).get("is_gtabs", True)
 
+    post_fn = None
+    if args.submit:
+        from trajsde_tpu.server import make_postprocess
+
+        post_fn = make_postprocess(is_gtabs, cfg.model_kwargs.get("ref_time", 20))
+
     serve = None
     if args.serving:
         from trajsde_tpu.serving import make_serving_fn
@@ -162,25 +168,18 @@ def main() -> None:
             result["agent_std"] = (agent_std.sum(), agent_std.shape[0])
             result["stds_full"] = out["stds"]
         if args.submit:
-            # agent modes back in the scene (world) frame + mode scores
+            # world-frame focal-agent projection — the SAME jitted math the
+            # serving engine ships (``server.py:make_postprocess``), incl.
+            # the delta-mode cumsum + nuScenes grid-scale undo
             import jax.numpy as jnp
 
-            loc = gather_agent(out["loc"][..., :2], scene.agent_index, axis=2)
-            ang = gather_agent(scene.rotate_angles, scene.agent_index, axis=1)
-            c, s = jnp.cos(ang), jnp.sin(ang)
-            rot_t = jnp.stack(
-                [jnp.stack([c, s], -1), jnp.stack([-s, c], -1)], axis=-2
-            )  # inverse of the agent-frame rotation
-            ref_time = cfg.model_kwargs.get("ref_time", 20)
-            origin = gather_agent(
-                scene.positions[:, :, ref_time], scene.agent_index, axis=1
-            )
-            world = jnp.einsum("bktj,bji->bkti", loc, rot_t) + origin[:, None, None]
-            pi = gather_agent(out["pi"], scene.agent_index, axis=1)
+            post = post_fn(scene, out)
             seq = scene.seq_id if scene.seq_id is not None else jnp.zeros(
-                (world.shape[0],), jnp.int32
+                (post["agent_world"].shape[0],), jnp.int32
             )
-            result["submission"] = (world, jax.nn.softmax(pi, axis=-1), seq, scene.source)
+            result["submission"] = (
+                post["agent_world"], post["agent_pi"], seq, scene.source
+            )
         return result
 
     key = jax.random.key(0)

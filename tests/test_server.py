@@ -90,6 +90,32 @@ def test_agent_world_frame_round_trip(engine_setup, rng):
     np.testing.assert_allclose(r["agent_world"], expect, atol=1e-4)
 
 
+def test_delta_mode_world_projection(engine_setup, rng):
+    """is_gtabs=False: model outputs are per-step displacements in GRID
+    space (nuScenes rows carry the ÷5 scaling, ``data/grid.py:64-72``);
+    agent_world must cumsum them and multiply nuScenes rows back to meters
+    before rotating/offsetting into the world frame."""
+    model, params = engine_setup
+    eng = _mk_engine(model, params, seed=5, is_gtabs=False)
+    raw = make_raw_scene(rng, 0, num_actors=5, num_lanes=6)  # source 0 = nuScenes
+    (r,) = eng.predict([raw])
+    eng.close()
+
+    from trajsde_tpu.data.grid import NUS_SCALE, align_to_grid
+    from trajsde_tpu.data.pack import pack_scenes
+
+    scene = pack_scenes([align_to_grid(dict(raw, source=0), is_gtabs=False)], A, L)
+    ai = int(np.asarray(scene.agent_index)[0])
+    ang = float(np.asarray(scene.rotate_angles)[0, ai])
+    c, s = np.cos(ang), np.sin(ang)
+    rot_t = np.array([[c, s], [-s, c]], np.float32)
+    origin = np.asarray(scene.positions)[0, ai, 20]
+    # r["loc"] is the cumulative-absolute GRID-space trajectory; the world
+    # projection re-scales nuScenes rows to meters before the rigid motion
+    expect = (r["loc"][:, ai] * NUS_SCALE) @ rot_t + origin
+    np.testing.assert_allclose(r["agent_world"], expect, atol=1e-3)
+
+
 def test_micro_batcher_groups_and_stats(engine_setup, rng):
     model, params = engine_setup
     eng = _mk_engine(model, params, max_wait_ms=200.0)

@@ -142,6 +142,9 @@ class ExportedServing:
                 self._fns[b] = jax_export.deserialize(f.read())
 
     def __call__(self, scene, key) -> Dict[str, Any]:
+        """``key`` is either a typed PRNG key or raw ``key_data`` (uint32)
+        — the serving engine derives key material host-side so the hot
+        path dispatches no eager key ops."""
         leaves = jax.tree.leaves(scene)
         b = int(np.shape(leaves[0])[0])
         if b not in self._fns:
@@ -162,7 +165,10 @@ class ExportedServing:
                     "(batch dim aside) — repack with the manifest's "
                     f"num_actors={self.num_actors}/num_lanes={self.num_lanes}"
                 )
-        return self._fns[b].call(leaves, jax.random.key_data(key))
+        kd = key
+        if jax.dtypes.issubdtype(getattr(key, "dtype", None), jax.dtypes.prng_key):
+            kd = jax.random.key_data(key)
+        return self._fns[b].call(leaves, kd)
 
 
 def load_serving(path: str) -> ExportedServing:

@@ -37,6 +37,7 @@ inputs need no separate pipeline.
 """
 from __future__ import annotations
 
+import collections
 import queue
 import threading
 import time
@@ -47,21 +48,43 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from trajsde_tpu.data.grid import align_to_grid
-from trajsde_tpu.data.pack import pack_scenes
+from trajsde_tpu.data.grid import NUS_SCALE, align_to_grid
+from trajsde_tpu.data.pack import pack_scenes, pick_bucket
 
 
-def _pick_bucket(n: int, buckets: Sequence[int]) -> int:
-    for b in buckets:
-        if n <= b:
-            return b
-    return buckets[-1]
+def derive_key_data(seed: int, counter: int, shape) -> np.ndarray:
+    """Host-side deterministic PRNG key material for (seed, counter).
+
+    Built with numpy so the serving hot path dispatches no eager
+    ``fold_in`` per request (each eager op is a device round trip —
+    ~30-40 ms through this environment's relay).  Any distinct uint32
+    pattern is a valid key for the counter-based impls (threefry
+    shape ``(2,)``, rbg ``(4,)``); distinct (seed, counter) pairs give
+    independent streams.
+    """
+    kd = np.zeros(shape, np.uint32)
+    flat = kd.reshape(-1)
+    if flat.size >= 2:
+        flat[0] = np.uint32(seed & 0xFFFFFFFF)
+        flat[-1] = np.uint32(counter & 0xFFFFFFFF)
+    else:
+        flat[0] = np.uint32((seed * 1000003 + counter) & 0xFFFFFFFF)
+    return kd
 
 
 def make_postprocess(is_gtabs: bool, ref_time: int):
-    """Focal-agent world-frame projection (the submission math, ``test.py``
-    --submit): agent modes rotated back out of the agent frame and offset
-    by the reference-time origin."""
+    """Focal-agent world-frame projection — the submission math shared by
+    ``test.py --submit`` and the serving engine: agent modes rotated back
+    out of the agent frame and offset by the reference-time origin.
+
+    Delta-target mode (``is_gtabs=False``): model outputs are per-step
+    displacements in the GRID space — nuScenes rows carry the ÷5 coordinate
+    scaling (``data/grid.py:64-72``, reference
+    ``nuScenes_Argoverse.py:161-168``) — so the world projection cumsums
+    them and multiplies nuScenes rows back to meters before adding the
+    meter-space origin.  The returned ``loc`` stays in grid space
+    (cumulative absolute), consistent with what metrics consume.
+    """
     from trajsde_tpu.train.loop import gather_agent
 
     @jax.jit
@@ -69,8 +92,12 @@ def make_postprocess(is_gtabs: bool, ref_time: int):
         loc = out["loc"][..., :2]
         if not is_gtabs:  # delta targets → cumulative absolute
             loc = jnp.cumsum(loc, axis=-2)
+            scale = jnp.where(scene.source == 0, NUS_SCALE, 1.0)
+            loc_m = loc * scale.reshape(scale.shape + (1,) * (loc.ndim - 1))
+        else:
+            loc_m = loc
         idx = scene.agent_index
-        agent_loc = gather_agent(loc, idx, axis=2)  # [B, K, Tf, 2]
+        agent_loc = gather_agent(loc_m, idx, axis=2)  # [B, K, Tf, 2]
         ang = gather_agent(scene.rotate_angles, idx, axis=1)
         c, s = jnp.cos(ang), jnp.sin(ang)
         rot_t = jnp.stack([jnp.stack([c, s], -1), jnp.stack([-s, c], -1)], -2)
@@ -127,12 +154,25 @@ class ServingEngine:
         self.max_wait_ms = max_wait_ms
         self.buckets = tuple(
             b for b in sorted(batch_buckets) if max_batch is None or b <= max_batch
-        ) or (1,)
+        )
+        if not self.buckets:
+            raise ValueError(
+                f"max_batch={max_batch} excludes every batch bucket "
+                f"{tuple(sorted(batch_buckets))}"
+            )
         self.max_batch = self.buckets[-1]
         self._model = model
         self._ref_time = ref_time
-        self._key = jax.random.key(seed)
+        self._seed = int(seed)
         self._counter = 0
+        self._lock = threading.Lock()
+        # key material is derived HOST-side per batch (no eager fold_in
+        # dispatch in the hot path); shape follows the PRNG impl — or, for
+        # artifacts, whatever impl the exporter recorded in the manifest
+        if engine == "exported":
+            self._kd_shape = tuple(model.manifest["key_data"]["shape"])
+        else:
+            self._kd_shape = jax.random.key_data(jax.random.key(0)).shape
         # data-parallel serving: shard each bucket over the data mesh (per
         # bucket, since the gcd device count depends on the batch size);
         # XLA splits the whole forward across chips, results gather back
@@ -155,17 +195,25 @@ class ServingEngine:
 
             dec = model.decoder
             self._kdims = (dec.future_steps, dec.num_modes, dec.local_channels)
-            self._serve = make_serving_fn(
+            base = make_serving_fn(
                 model,
                 {"params": params},
                 interpret=jax.default_backend() != "tpu",
                 increments=increments,
             )
+
+            @jax.jit
+            def _kserve(scene, key_data, seed, noise):
+                return base(scene, jax.random.wrap_key_data(key_data), seed,
+                            noise)
+
+            self._serve = _kserve
         else:
             self._params = params
 
             @jax.jit
-            def _fwd(scene, key):
+            def _fwd(scene, key_data):
+                key = jax.random.wrap_key_data(key_data)
                 return model.apply({"params": params}, scene, rngs={"sde": key})
 
             self._serve = _fwd
@@ -173,9 +221,9 @@ class ServingEngine:
         if engine != "exported":
             self._post = make_postprocess(self.is_gtabs, self._ref_time)
 
-        self._lock = threading.Lock()
-        self._latencies: List[float] = []
-        self._batch_sizes: List[int] = []
+        # bounded windows: a long-running daemon must not grow without bound
+        self._latencies = collections.deque(maxlen=100_000)
+        self._batch_sizes = collections.deque(maxlen=100_000)
         self._t_first: Optional[float] = None
         self._t_last: Optional[float] = None
         self._served = 0
@@ -262,13 +310,14 @@ class ServingEngine:
         self._worker.join(timeout=30)
 
     # ---------------------------------------------------------------- internals
-    def _next_key(self):
-        self._counter += 1
-        return jax.random.fold_in(self._key, self._counter)
+    def _next_counter(self) -> int:
+        with self._lock:
+            self._counter += 1
+            return self._counter
 
     def _run_batch(self, raw_scenes: List[Dict], record: bool = True) -> List[Dict]:
         n = len(raw_scenes)
-        bucket = _pick_bucket(n, self.buckets)
+        bucket = pick_bucket(n, self.buckets)
         padded = list(raw_scenes) + [raw_scenes[-1]] * (bucket - n)
         aligned = [
             align_to_grid(dict(s, source=s.get("source", np.int32(0))),
@@ -278,20 +327,24 @@ class ServingEngine:
         scene = pack_scenes(aligned, self.num_actors, self.num_lanes)
         if bucket in self._meshes:
             scene = self._mesh_lib.shard_batch(scene, self._meshes[bucket])
-        key = self._next_key()
+        # everything random is derived host-side from (seed, counter): the
+        # hot path dispatches exactly ONE device computation per batch
+        c = self._next_counter()
+        kd = derive_key_data(self._seed, c, self._kd_shape)
         if self.engine == "kernel":
-            seed = jax.random.randint(key, (), 0, jnp.iinfo(jnp.int32).max)
+            seed = np.int32((self._seed * 1000003 + c) & 0x7FFFFFFF)
             noise = None
             if jax.default_backend() != "tpu":
+                # the CPU interpreter lacks the on-core PRNG primitives
                 Tf, K, D = self._kdims
-                noise = jax.random.normal(
-                    jax.random.fold_in(key, 1),
-                    (Tf, bucket * K * self.num_actors, D),
-                    jnp.float32,
+                noise = (
+                    np.random.default_rng((self._seed, c))
+                    .standard_normal((Tf, bucket * K * self.num_actors, D))
+                    .astype(np.float32)
                 )
-            out = self._serve(scene, key, seed, noise)
+            out = self._serve(scene, kd, seed, noise)
         else:
-            out = self._serve(scene, key)
+            out = self._serve(scene, kd)
         post = jax.device_get(self._post(scene, out))
         if record:
             now = time.perf_counter()
