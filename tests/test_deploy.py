@@ -89,3 +89,25 @@ def test_bad_manifest_rejected(tmp_path):
     (tmp_path / "x" / "manifest.json").write_text('{"format": "other"}')
     with pytest.raises(ValueError, match="not a serving export"):
         load_serving(str(tmp_path / "x"))
+
+
+def test_stale_delta_mode_artifact_refused(exported, tmp_path):
+    """A delta-mode artifact baked before postprocess rev 2 lacks the
+    cumsum + grid-scale math in agent_world — loading must fail loudly
+    instead of serving silently-wrong world coordinates."""
+    _, _, out_dir, manifest = exported
+    stale = tmp_path / "stale"
+    os.makedirs(stale, exist_ok=True)
+    m = dict(manifest, is_gtabs=False)
+    m.pop("postprocess_rev")  # pre-rev-2 manifests had no such field
+    (stale / "manifest.json").write_text(json.dumps(m))
+    with pytest.raises(ValueError, match="postprocess rev 1"):
+        load_serving(str(stale))
+    # gtabs artifacts from the same era are unaffected by the fix
+    m2 = dict(manifest)
+    m2.pop("postprocess_rev")
+    (stale / "manifest.json").write_text(json.dumps(m2))
+    for b in m2["buckets"]:
+        data = open(os.path.join(out_dir, f"bucket_{b}.shlo"), "rb").read()
+        (stale / f"bucket_{b}.shlo").write_bytes(data)
+    load_serving(str(stale))

@@ -90,6 +90,27 @@ def test_agent_world_frame_round_trip(engine_setup, rng):
     np.testing.assert_allclose(r["agent_world"], expect, atol=1e-4)
 
 
+def test_mix_seed_streams_do_not_overlap():
+    """Adjacent engine seeds must not replay each other's kernel-decoder
+    noise: the pre-fix ``seed*1000003 + counter`` made engine s at counter
+    1000003+k collide with engine s+1 at counter k."""
+    from trajsde_tpu.server import derive_key_data, mix_seed
+
+    seen = {}
+    for s in (0, 1, 2, -1, 12345):
+        for c in range(1, 200):
+            v = mix_seed(s, c)
+            assert 0 <= v < 2**31
+            assert v not in seen, f"{v} from both {seen.get(v)} and {(s, c)}"
+            seen[v] = (s, c)
+    # the documented collision shape of the multiplicative scheme
+    assert mix_seed(0, 1000003 + 7) != mix_seed(1, 7)
+    # negative seeds are valid and deterministic
+    np.testing.assert_array_equal(
+        derive_key_data(-1, 3, (2,)), derive_key_data(-1, 3, (2,))
+    )
+
+
 def test_delta_mode_world_projection(engine_setup, rng):
     """is_gtabs=False: model outputs are per-step displacements in GRID
     space (nuScenes rows carry the ÷5 scaling, ``data/grid.py:64-72``);

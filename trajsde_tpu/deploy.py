@@ -39,6 +39,10 @@ import jax
 import numpy as np
 
 MANIFEST = "manifest.json"
+# Baked-postprocess revision. Bump when make_postprocess changes math so
+# stale artifacts fail loudly instead of serving silently-wrong outputs.
+# rev 2: delta-mode cumsum + nuScenes grid-scale undo in agent_world.
+POSTPROCESS_REV = 2
 
 
 def _leaf_schema(leaves: Sequence[Any]) -> List[Dict[str, Any]]:
@@ -106,6 +110,7 @@ def export_serving(
         "platforms": list(platforms) if platforms else [jax.default_backend()],
         "leaf_schema": _leaf_schema(leaves),
         "key_data": {"shape": list(key_spec.shape), "dtype": str(key_spec.dtype)},
+        "postprocess_rev": POSTPROCESS_REV,
         "jax_version": jax.__version__,
     }
     with open(os.path.join(out_dir, MANIFEST), "w") as f:
@@ -132,6 +137,16 @@ class ExportedServing:
         self.num_actors = int(m["num_actors"])
         self.num_lanes = int(m["num_lanes"])
         self.is_gtabs = bool(m["is_gtabs"])
+        # delta-mode artifacts baked before postprocess rev 2 are missing
+        # the cumsum/grid-scale math in agent_world — refuse to serve them
+        if not self.is_gtabs and m.get("postprocess_rev", 1) < POSTPROCESS_REV:
+            raise ValueError(
+                f"{path}: delta-mode (is_gtabs=false) artifact was exported "
+                f"with postprocess rev {m.get('postprocess_rev', 1)} < "
+                f"{POSTPROCESS_REV}; its baked world projection predates the "
+                "delta-mode cumsum/grid-scale fix — re-export from the "
+                "checkpoint"
+            )
         self.ref_time = int(m["ref_time"])
         self.platforms = tuple(m["platforms"])
         self.leaf_schema = m["leaf_schema"]

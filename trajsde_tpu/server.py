@@ -68,8 +68,23 @@ def derive_key_data(seed: int, counter: int, shape) -> np.ndarray:
         flat[0] = np.uint32(seed & 0xFFFFFFFF)
         flat[-1] = np.uint32(counter & 0xFFFFFFFF)
     else:
-        flat[0] = np.uint32((seed * 1000003 + counter) & 0xFFFFFFFF)
+        flat[0] = np.uint32(mix_seed(seed, counter))
     return kd
+
+
+def mix_seed(seed: int, counter: int) -> int:
+    """splitmix64-mix (seed, counter) into one well-distributed 31-bit
+    seed.  A plain ``seed*K + counter`` makes the streams of adjacent
+    engine seeds overlap after ~K requests; the finalizer's avalanche
+    keeps distinct (seed, counter) pairs effectively independent."""
+    x = (((seed & 0xFFFFFFFF) << 32) | (counter & 0xFFFFFFFF)) & 0xFFFFFFFFFFFFFFFF
+    x = (x + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+    x ^= x >> 30
+    x = (x * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+    x ^= x >> 27
+    x = (x * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+    x ^= x >> 31
+    return x & 0x7FFFFFFF
 
 
 def make_postprocess(is_gtabs: bool, ref_time: int):
@@ -184,12 +199,14 @@ class ServingEngine:
             for b in self.buckets:
                 self._meshes[b] = mesh_lib.make_mesh_for_batch(b)
 
+        # forward + world-frame postprocess fuse into ONE jitted pipeline:
+        # a served batch costs exactly one device dispatch (each dispatch
+        # is a relay round trip in this environment)
         if engine == "exported":
             # ``model`` is a loaded deploy.ExportedServing: a frozen
-            # StableHLO pipeline (forward + world-frame postprocess with the
-            # weights baked in), so no flax tracing and no separate _post
+            # StableHLO pipeline (forward + world-frame postprocess with
+            # the weights baked in), so no flax tracing either
             self._serve = model
-            self._post = lambda scene, out: out
         elif engine == "kernel":
             from trajsde_tpu.serving import make_serving_fn
 
@@ -201,25 +218,27 @@ class ServingEngine:
                 interpret=jax.default_backend() != "tpu",
                 increments=increments,
             )
+            post = make_postprocess(self.is_gtabs, self._ref_time)
 
             @jax.jit
             def _kserve(scene, key_data, seed, noise):
-                return base(scene, jax.random.wrap_key_data(key_data), seed,
-                            noise)
+                out = base(scene, jax.random.wrap_key_data(key_data), seed,
+                           noise)
+                return post(scene, out)
 
             self._serve = _kserve
         else:
             self._params = params
+            post = make_postprocess(self.is_gtabs, self._ref_time)
 
             @jax.jit
             def _fwd(scene, key_data):
                 key = jax.random.wrap_key_data(key_data)
-                return model.apply({"params": params}, scene, rngs={"sde": key})
+                out = model.apply({"params": params}, scene,
+                                  rngs={"sde": key})
+                return post(scene, out)
 
             self._serve = _fwd
-
-        if engine != "exported":
-            self._post = make_postprocess(self.is_gtabs, self._ref_time)
 
         # bounded windows: a long-running daemon must not grow without bound
         self._latencies = collections.deque(maxlen=100_000)
@@ -332,20 +351,19 @@ class ServingEngine:
         c = self._next_counter()
         kd = derive_key_data(self._seed, c, self._kd_shape)
         if self.engine == "kernel":
-            seed = np.int32((self._seed * 1000003 + c) & 0x7FFFFFFF)
+            seed = np.int32(mix_seed(self._seed, c))
             noise = None
             if jax.default_backend() != "tpu":
                 # the CPU interpreter lacks the on-core PRNG primitives
                 Tf, K, D = self._kdims
-                noise = (
-                    np.random.default_rng((self._seed, c))
-                    .standard_normal((Tf, bucket * K * self.num_actors, D))
-                    .astype(np.float32)
+                noise = np.random.default_rng(
+                    (self._seed & 0xFFFFFFFF, c)
+                ).standard_normal(
+                    (Tf, bucket * K * self.num_actors, D), np.float32
                 )
-            out = self._serve(scene, kd, seed, noise)
+            post = jax.device_get(self._serve(scene, kd, seed, noise))
         else:
-            out = self._serve(scene, kd)
-        post = jax.device_get(self._post(scene, out))
+            post = jax.device_get(self._serve(scene, kd))
         if record:
             now = time.perf_counter()
             with self._lock:
