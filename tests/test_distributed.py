@@ -219,6 +219,63 @@ def test_zero1_optimizer_sharding_matches_replicated(rng):
     assert still_sharded, "ZeRO layout lost after one step"
 
 
+def test_elastic_restore_across_mesh_sizes(rng, tmp_path):
+    """Production elasticity: a ZeRO-1 checkpoint written from an 8-device
+    mesh restores onto a 4-device mesh with its own sharded layouts —
+    orbax reshards to the target on restore, so device-count changes
+    between runs (resize, partial outage) don't invalidate checkpoints.
+    The reference's Lightning/DDP checkpoints are rank-agnostic too; this
+    proves the analog for the sharded-optimizer layout we add."""
+    from trajsde_tpu.train.checkpoint import CheckpointManager
+
+    scene = make_scene_batch(rng, batch_size=8, num_actors=6, num_lanes=8, sources=[0, 1])
+    model = make_baseline()
+    opt = optax.adamw(1e-3, weight_decay=1e-4)
+    step = make_train_step(model, opt, [("L2", 1.0, l2_loss)], donate=False)
+
+    mesh8 = mesh_lib.make_mesh(n_data=8, n_model=1)
+    state = create_train_state(model, opt, scene)
+    state = jax.device_put(state, mesh_lib.replicated(mesh8))
+    state = state.replace(
+        opt_state=mesh_lib.shard_opt_state(state.opt_state, mesh8)
+    )
+    state, _ = step(state, mesh_lib.shard_batch(scene, mesh8))
+    mgr = CheckpointManager(str(tmp_path / "ck"))
+    mgr.save(state, metric=1.0, step=1)
+    mgr.wait()
+
+    # fresh-process analog: a 4-device mesh target with its own layouts
+    mesh4 = mesh_lib.make_mesh(n_data=4, n_model=1, devices=jax.devices()[:4])
+    target = create_train_state(model, opt, scene)
+    target = jax.device_put(target, mesh_lib.replicated(mesh4))
+    target = target.replace(
+        opt_state=mesh_lib.shard_opt_state(target.opt_state, mesh4)
+    )
+    restored = mgr.restore(target)
+
+    for (path, a), (_, b) in zip(
+        jax.tree_util.tree_flatten_with_path(state.params)[0],
+        jax.tree_util.tree_flatten_with_path(restored.params)[0],
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6,
+            err_msg=jax.tree_util.keystr(path),
+        )
+    assert int(restored.step) == int(state.step)
+    # the 4-device layout actually took (opt state sharded over mesh4) …
+    resharded = [
+        x for x in jax.tree.leaves(restored.opt_state)
+        if hasattr(x, "sharding")
+        and x.sharding.spec != jax.sharding.PartitionSpec()
+    ]
+    assert resharded, "restored optimizer state lost its ZeRO layout"
+    assert all(len(x.sharding.device_set) == 4 for x in resharded)
+    # … and the restored state trains on the smaller mesh
+    new, logs = step(restored, mesh_lib.shard_batch(scene, mesh4))
+    assert np.isfinite(float(logs["train/total"]))
+    assert float(logs["train/step_skipped"]) == 0.0
+
+
 def test_accumulated_step_sharded_matches_replicated(rng):
     """Gradient accumulation under SPMD: a [K, B, ...] group sharded with
     batch_axis=1 (micro axis scanned locally, scenes over ``data``) must
