@@ -48,8 +48,12 @@ def main() -> None:
         help="with --ood: save per-batch OOD-score scene renderings",
     )
     parser.add_argument("--viz-limit", type=int, default=8)
-    parser.add_argument("--num-actors", type=int, default=48)
-    parser.add_argument("--num-lanes", type=int, default=192)
+    parser.add_argument("--num-actors", type=int, default=None,
+                        help="actor capacity (overrides config; default: "
+                        "config value or 48)")
+    parser.add_argument("--num-lanes", type=int, default=None,
+                        help="lane capacity (overrides config; default: "
+                        "config value or 192)")
     parser.add_argument(
         "--only-agent",
         action="store_true",
@@ -81,8 +85,11 @@ def main() -> None:
 
     cfg = load_config(args.config)
     dm_kwargs = dict(cfg.datamodule)
-    dm_kwargs.setdefault("num_actors", args.num_actors)
-    dm_kwargs.setdefault("num_lanes", args.num_lanes)
+    # explicit CLI flags override the config (conventional precedence)
+    if args.num_actors is not None:
+        dm_kwargs["num_actors"] = args.num_actors
+    if args.num_lanes is not None:
+        dm_kwargs["num_lanes"] = args.num_lanes
     datamodule = DataModuleNuArgoMix(**dm_kwargs)
 
     model = build_model(cfg)
@@ -90,9 +97,9 @@ def main() -> None:
         [n for n, _ in cfg.metric_specs], [dict(a) for _, a in cfg.metric_specs]
     )
 
-    mesh = mesh_lib.make_mesh_for_batch(dm_kwargs.get("val_batch_size", 1))
+    mesh = mesh_lib.make_mesh_for_batch(datamodule.val_batch_size)
     loader = datamodule.test_loader()
-    example = mesh_lib.shard_batch(next(iter(loader)), mesh)
+    example = mesh_lib.shard_batch(loader.first_batch(), mesh)
     state = create_train_state(model, optax.identity(), example)
     ckpt_dir = os.path.dirname(os.path.abspath(args.ckpt))
     # weights-only restore: the eval state's optimizer tree differs from

@@ -2,6 +2,7 @@
 import os
 
 import numpy as np
+import pytest
 
 from trajsde_tpu.data.augment import random_flip
 from trajsde_tpu.data.grid import TF, TH, align_to_grid, domain_slot_masks
@@ -164,6 +165,7 @@ def test_multiworker_loader_matches_single(rng, tmp_path):
     ds = NuArgoDataset("train", argo_dir=str(tmp_path / "Argoverse"), nus=False)
 
     def batches(workers):
+        ds.epoch = 0  # shuffle is keyed by (seed, epoch); compare like epochs
         return list(
             BatchLoader(
                 ds, batch_size=3, num_actors=6, num_lanes=10,
@@ -176,6 +178,67 @@ def test_multiworker_loader_matches_single(rng, tmp_path):
     for a, b in zip(single, multi):
         np.testing.assert_array_equal(np.asarray(a.x), np.asarray(b.x))
         np.testing.assert_array_equal(np.asarray(a.seq_id), np.asarray(b.seq_id))
+
+
+def _tiny_dataset(rng, tmp_path, n=8):
+    d = tmp_path / "Argoverse" / "train"
+    os.makedirs(d, exist_ok=True)
+    for i in range(n):
+        raw = make_raw_scene(rng, 1, num_actors=5, num_lanes=8)
+        np.savez(d / f"s{i}.npz", **raw, seq_id=np.int32(i))
+    return NuArgoDataset("train", argo_dir=str(tmp_path / "Argoverse"), nus=False)
+
+
+def test_reshuffle_across_epochs_survives_loader_recreation(rng, tmp_path):
+    """The shuffle permutation is keyed by (seed, dataset.epoch), so it
+    varies across epochs even though train.py builds a FRESH BatchLoader
+    per epoch — and with drop_last the excluded tail rotates instead of
+    permanently starving the same scenes."""
+    ds = _tiny_dataset(rng, tmp_path)
+
+    def epoch_ids():
+        loader = BatchLoader(ds, batch_size=3, num_actors=6, num_lanes=10,
+                             shuffle=True, seed=0)
+        return [int(s) for b in loader for s in np.asarray(b.seq_id)]
+
+    orders, seen = [], set()
+    for _ in range(4):  # fresh loader each epoch, like Trainer.fit
+        ids = epoch_ids()
+        assert len(ids) == 6  # drop_last: 8 → 2 batches of 3
+        orders.append(tuple(ids))
+        seen.update(ids)
+    assert len(set(orders)) > 1, "identical shuffle every epoch"
+    assert seen == set(range(8)), "drop_last starved some scenes forever"
+    # deterministic: replaying the same epoch gives the same order
+    epoch_now = ds.epoch
+    ds.epoch = epoch_now - 1
+    assert tuple(epoch_ids()) == orders[-1]
+
+
+def test_loader_propagates_worker_errors(rng, tmp_path):
+    """A corrupt scene must raise in the consumer — not hang the
+    multi-worker iterator or silently truncate the single-worker epoch."""
+    ds = _tiny_dataset(rng, tmp_path, n=4)
+    (tmp_path / "Argoverse" / "train" / "s2.npz").write_bytes(b"not an npz")
+    for workers in (1, 3):
+        loader = BatchLoader(ds, batch_size=1, num_actors=6, num_lanes=10,
+                             shuffle=False, drop_last=False,
+                             num_workers=workers)
+        with pytest.raises(Exception):
+            list(loader)
+
+
+def test_first_batch_has_no_side_effects(rng, tmp_path):
+    """first_batch (the model-init template path) must not bump the
+    augmentation epoch or start prefetch threads."""
+    ds = _tiny_dataset(rng, tmp_path)
+    loader = BatchLoader(ds, batch_size=3, num_actors=6, num_lanes=10,
+                         shuffle=True, seed=0)
+    before = ds.epoch
+    b = loader.first_batch()
+    assert b.x.shape[0] == 3 and ds.epoch == before
+    # numpy leaves: the device transfer belongs to the consumption point
+    assert isinstance(np.asarray(b.x), np.ndarray) and type(b.x) is np.ndarray
 
 
 def test_loader_end_to_end(rng, tmp_path):

@@ -219,6 +219,17 @@ def test_zero1_optimizer_sharding_matches_replicated(rng):
     assert still_sharded, "ZeRO layout lost after one step"
 
 
+def test_mesh_for_batch_uses_largest_dividing_device_count():
+    """The data mesh takes the largest divisor of the batch that fits the
+    host, not the gcd (batch 12 on 8 devices: 6 chips, not 4)."""
+    assert mesh_lib.make_mesh_for_batch(12).shape[mesh_lib.DATA_AXIS] == 6
+    assert mesh_lib.make_mesh_for_batch(8).shape[mesh_lib.DATA_AXIS] == 8
+    assert mesh_lib.make_mesh_for_batch(7).shape[mesh_lib.DATA_AXIS] == 7
+    assert mesh_lib.make_mesh_for_batch(3).shape[mesh_lib.DATA_AXIS] == 3
+    assert mesh_lib.make_mesh_for_batch(13).shape[mesh_lib.DATA_AXIS] == 1
+    assert mesh_lib.make_mesh_for_batch(48).shape[mesh_lib.DATA_AXIS] == 8
+
+
 def test_elastic_restore_across_mesh_sizes(rng, tmp_path):
     """Production elasticity: a ZeRO-1 checkpoint written from an 8-device
     mesh restores onto a 4-device mesh with its own sharded layouts —

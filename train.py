@@ -39,8 +39,12 @@ def main() -> None:
     parser.add_argument("--epochs", type=int, default=None)
     parser.add_argument("--logdir", default="logs")
     parser.add_argument("--monitor", default="ADE_T")
-    parser.add_argument("--num-actors", type=int, default=48)
-    parser.add_argument("--num-lanes", type=int, default=192)
+    parser.add_argument("--num-actors", type=int, default=None,
+                        help="actor capacity per scene (overrides config; "
+                        "default: config value or 48)")
+    parser.add_argument("--num-lanes", type=int, default=None,
+                        help="lane capacity per scene (overrides config; "
+                        "default: config value or 192)")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument(
         "--profile",
@@ -112,13 +116,24 @@ def main() -> None:
         print(f"multihost: {n_proc} processes, {len(jax.devices())} devices")
 
     cfg = load_config(args.config)
+    if cfg.model_kwargs.get("ts_drop") is True:
+        # the reference's `rand > (1 - ts_drop)` has the same degeneracy:
+        # a boolean true is rate 1.0, which deletes the entire history
+        raise SystemExit(
+            "config error: ts_drop must be a drop RATE in [0, 1) "
+            "(e.g. 0.1), not 'true' — rate 1.0 would zero every "
+            "historical step"
+        )
     run_dir = os.path.join(args.logdir, args.name)
     os.makedirs(run_dir, exist_ok=True)
     snapshot_sources(run_dir)
 
     dm_kwargs = dict(cfg.datamodule)
-    dm_kwargs.setdefault("num_actors", args.num_actors)
-    dm_kwargs.setdefault("num_lanes", args.num_lanes)
+    # explicit CLI flags override the config (conventional precedence)
+    if args.num_actors is not None:
+        dm_kwargs["num_actors"] = args.num_actors
+    if args.num_lanes is not None:
+        dm_kwargs["num_lanes"] = args.num_lanes
     datamodule = DataModuleNuArgoMix(**dm_kwargs)
     steps_per_epoch = max(1, len(datamodule.train_loader()))
 
@@ -137,11 +152,11 @@ def main() -> None:
     updates_per_epoch = max(1, -(-steps_per_epoch // max(1, args.accum)))
     optimizer = build_optimizer(cfg.training, updates_per_epoch)
 
-    mesh = mesh_lib.make_mesh_for_batch(
-        dm_kwargs.get("train_batch_size", dm_kwargs.get("val_batch_size", 1))
-    )
-    example = next(iter(datamodule.train_loader()))
-    example = mesh_lib.shard_batch(example, mesh)
+    # the datamodule's resolved batch size (config default included) sizes
+    # the data mesh — a config omitting train_batch_size still trains at
+    # the loader default, so the mesh must match it
+    mesh = mesh_lib.make_mesh_for_batch(datamodule.train_batch_size)
+    example = mesh_lib.shard_batch(datamodule.train_loader().first_batch(), mesh)
     state = create_train_state(model, optimizer, example, seed=args.seed)
     state = jax.device_put(state, mesh_lib.replicated(mesh))
     if args.zero1:

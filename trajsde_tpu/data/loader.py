@@ -180,7 +180,7 @@ class BatchLoader:
         )
         # truncation accounting — "no silent caps"
         self.stats = dict(actors_dropped=0, lanes_dropped=0, scenes_truncated=0)
-        self._rng = np.random.default_rng(seed)
+        self._seed = seed
 
     def _pack(self, scenes):
         A, L = self.num_actors, self.num_lanes
@@ -195,7 +195,20 @@ class BatchLoader:
         with self._stats_lock:
             for k, v in truncation_stats(scenes, A, L).items():
                 self.stats[k] += v
-        return pack_scenes(scenes, A, L, use_native=self.native_pack)
+        # numpy batches: the device transfer happens ONCE per batch at the
+        # consumption point (mesh.shard_batch / jit dispatch) — eager
+        # per-leaf jnp creation in packing threads would dispatch per leaf,
+        # and --accum's host-side np.stack grouping depends on numpy leaves
+        return pack_scenes(scenes, A, L, use_native=self.native_pack,
+                           as_jax=False)
+
+    def first_batch(self):
+        """One packed batch, synchronously — the shape/param template for
+        model init.  Does not start prefetch workers, bump the
+        augmentation epoch, or advance the shuffle stream (abandoning a
+        started iterator would leak producer threads holding batches)."""
+        n = min(self.batch_size, len(self.dataset))
+        return self._pack([self.dataset[i] for i in range(n)])
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -204,7 +217,15 @@ class BatchLoader:
     def _batches_indices(self):
         idx = np.arange(len(self.dataset))
         if self.shuffle:
-            self._rng.shuffle(idx)
+            # reshuffle EVERY epoch, deterministically: the permutation is
+            # keyed by (seed, dataset.epoch), so it survives the loader
+            # being re-created per epoch (drop_last would otherwise exclude
+            # the same tail scenes from all of training)
+            epoch = getattr(self.dataset, "epoch", 0)
+            rng = np.random.default_rng(
+                np.random.SeedSequence([self._seed, int(epoch)])
+            )
+            rng.shuffle(idx)
         stop = (len(idx) // self.batch_size) * self.batch_size if self.drop_last else len(idx)
         for i in range(0, stop, self.batch_size):
             yield idx[i : i + self.batch_size]
@@ -218,6 +239,8 @@ class BatchLoader:
                 for batch_idx in self._batches_indices():
                     scenes = [self.dataset[int(i)] for i in batch_idx]
                     q.put(self._pack(scenes))
+            except BaseException as e:  # re-raised in the consumer — a
+                q.put(e)  # swallowed error would silently END the epoch
             finally:
                 q.put(SENTINEL)
 
@@ -227,6 +250,8 @@ class BatchLoader:
             item = q.get()
             if item is SENTINEL:
                 break
+            if isinstance(item, BaseException):
+                raise item
             yield item
 
     def _iter_workers(self) -> Iterator:
@@ -249,8 +274,14 @@ class BatchLoader:
                     i, batch_idx = in_q.get_nowait()
                 except queue.Empty:
                     return
-                scenes = [self.dataset[int(j)] for j in batch_idx]
-                out_q.put((i, self._pack(scenes)))
+                try:
+                    scenes = [self.dataset[int(j)] for j in batch_idx]
+                    out_q.put((i, self._pack(scenes)))
+                except BaseException as e:
+                    # propagate: a silently-dead worker would leave the
+                    # consumer blocked on out_q.get() forever
+                    out_q.put((i, e))
+                    return
 
         threads = [
             threading.Thread(target=worker, daemon=True)
@@ -262,6 +293,8 @@ class BatchLoader:
         while received < len(batches):
             i, batch = out_q.get()
             received += 1
+            if isinstance(batch, BaseException):
+                raise batch  # fail fast, out of order
             heapq.heappush(heap, (i, id(batch), batch))
             while heap and heap[0][0] == next_i:
                 yield heapq.heappop(heap)[2]

@@ -75,10 +75,12 @@ def make_mesh_for_batch(batch_size: int, n_model: int = 1, devices=None) -> Mesh
     Keeps small debug batches runnable on large hosts (unused devices hold
     replicas only).
     """
-    import math
-
     devices = list(devices if devices is not None else jax.devices())
-    n_data = math.gcd(batch_size, len(devices) // n_model)
+    n_avail = max(1, len(devices) // n_model)
+    # largest divisor of the batch that fits the device count (gcd would
+    # under-use devices: batch 12 on 8 devices → gcd 4, divisor 6)
+    n_data = max(d for d in range(1, min(batch_size, n_avail) + 1)
+                 if batch_size % d == 0)
     return make_mesh(n_data=n_data, n_model=n_model, devices=devices[: n_data * n_model])
 
 
