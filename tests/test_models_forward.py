@@ -224,3 +224,45 @@ def test_sde_forward_ood_chunked_matches(rng):
             {"params": params}, scene, rngs={"sde": jax.random.key(2)},
             method="forward_ood",
         )
+
+
+def test_unsupported_encoder_knobs_raise(rng):
+    """Knob combinations outside the implemented envelope fail LOUDLY at
+    init, not silently degrade (the module's stated policy)."""
+    scene = _scene(rng)
+    rngs = {"params": jax.random.key(0), "sde": jax.random.key(1)}
+    # eos gather rule requires ref_time == historical_steps - 1 (any other
+    # pairing can take_along_axis out of bounds → NaN under jit)
+    with pytest.raises(ValueError, match="ref_time"):
+        LocalEncoderSDESep(
+            historical_steps=TH, embed_dim=D, num_heads=8, ref_time=TH - 5
+        ).init(rngs, scene)
+    # the reference SDE AAEncoder hardcodes bos substitution
+    with pytest.raises(NotImplementedError, match="input_diff"):
+        LocalEncoderSDESep(
+            historical_steps=TH, embed_dim=D, num_heads=8, input_diff=False
+        ).init(rngs, scene)
+
+
+def test_serving_fn_refuses_deep_sde_decoder(rng):
+    """make_serving_fn's kernel param extraction hardcodes sde_layers=2;
+    a deeper decoder must refuse instead of silently serving a truncated
+    MLP."""
+    from trajsde_tpu.serving import make_serving_fn
+
+    model = PredictionModelSDENet(
+        encoder=LocalEncoderSDESep(historical_steps=TH, embed_dim=D, num_heads=8),
+        aggregator=GlobalInteractor(
+            historical_steps=TH, embed_dim=D, num_modes=K, num_heads=8
+        ),
+        decoder=SDEDecoder(
+            local_channels=D, global_channels=D, future_steps=TF,
+            num_modes=K, sde_layers=3,
+        ),
+    )
+    scene = _scene(rng)
+    params = jax.jit(model.init)(
+        {"params": jax.random.key(0), "sde": jax.random.key(1)}, scene
+    )
+    with pytest.raises(NotImplementedError, match="sde_layers"):
+        make_serving_fn(model, params)

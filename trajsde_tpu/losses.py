@@ -62,7 +62,7 @@ def laplace_nll_loss(scene_y: jax.Array, output: Dict[str, jax.Array]) -> jax.Ar
     bidx = best[:, None, :, None, None]
     loc_b = jnp.take_along_axis(loc, bidx, axis=1)[:, 0]      # [B, A, Tf, 2]
     scale_b = jnp.take_along_axis(scale, bidx, axis=1)[:, 0]
-    scale_b = jnp.maximum(jax.lax.stop_gradient(scale_b) * 0 + scale_b, _EPS)
+    scale_b = jnp.maximum(scale_b, _EPS)
     nll = jnp.log(2.0 * scale_b) + jnp.abs(scene_y - loc_b) / scale_b
     m = reg_mask[..., None].astype(nll.dtype)
     # reference reduction is ``nll[reg_mask].mean()`` — a mean over

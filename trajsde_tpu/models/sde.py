@@ -307,8 +307,8 @@ def encoder_time_grid(historical_steps: int, max_past_t: float, minimum_step: fl
 
     Reproduces ``enc_hivt_nusargo_sde_sep2.py:128-135,175-179``: pseudo-times
     ``-linspace(-max_past_t, 0, Th)`` consumed newest→oldest; the first
-    segment is ``[pts[-1]−0.01, pts[-1]]`` (dt=0.01), then one
-    ``minimum_step`` segment per historical step.
+    segment is ``[pts[0]−0.01, pts[0]]`` = ``[-0.01, 0]`` at the NEWEST
+    step (dt=0.01), then one segment per remaining historical step.
     """
     pts = -jnp.linspace(-max_past_t, 0.0, historical_steps)[::-1]  # [0, .1, ..., 2]
     t0s = jnp.concatenate([jnp.array([-0.01]), pts[:-1]])

@@ -131,6 +131,24 @@ class LocalEncoderSDESep(nn.Module):
                 "configs backprop through the unrolled Euler scheme, "
                 "configs/...sdedec.yml:41)"
             )
+        if self.ref_time != self.historical_steps - 1:
+            # gather_eos_outputs computes eos = ref_time − argmax(bos) over
+            # historical_steps ODE-RNN iterations; any other pairing can
+            # index out of bounds, which take_along_axis fills with NaN
+            # under jit — the NaN-guard would then silently skip EVERY step
+            raise ValueError(
+                f"ref_time ({self.ref_time}) must equal historical_steps - 1 "
+                f"({self.historical_steps - 1}): the eos gather rule "
+                "(reference enc_...sde_sep2.py:187-191) assumes the "
+                "reference step is the final historical slot"
+            )
+        if not self.input_diff:
+            raise NotImplementedError(
+                "input_diff=false is not supported for the SDE encoder: the "
+                "reference SDE AAEncoder hardcodes the bos-token "
+                "substitution (only the baseline grid encoder branches "
+                "on it, enc_hivt_nusargo_grid.py:152)"
+            )
         aa_cls = nn.remat(AAEncoder, static_argnums=(7,)) if self.remat else AAEncoder
         al_cls = nn.remat(ALEncoder, static_argnums=(6,)) if self.remat else ALEncoder
         self.aa_encoder = aa_cls(

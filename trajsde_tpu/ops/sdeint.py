@@ -48,10 +48,11 @@ def euler_maruyama(
 
     Returns:
       ys: ``[T, ..., D]`` states after each step (excludes ``y0``).
-      gs: ``[T, ...]`` per-step diffusion magnitudes (last dim squeezed if
-        scalar) — the ``sdeint_dual`` diffusion tap generalized to every
-        step (the reference returns only the final step's ``g``,
-        ``sdeint.py:384``; callers index what they need).
+      gs: per-step diffusion outputs stacked exactly as ``g`` returns them
+        (``[T, ..., 1]`` for scalar-per-row g, ``[T, ..., D]`` otherwise) —
+        the ``sdeint_dual`` diffusion tap generalized to every step (the
+        reference returns only the final step's ``g``, ``sdeint.py:384``;
+        callers index what they need).
     """
     t0s = ts[:-1]
     dts = ts[1:] - ts[:-1]
@@ -193,7 +194,11 @@ def sdeint_adaptive(
         active = c["t"] < t_end
         dt = jnp.maximum(c["dt"], dt_min)
         t0, y = c["t"], c["y"]
-        t1 = jnp.minimum(t0 + dt, t_end)
+        # clip to the interval end, STRETCHING any step that would leave a
+        # final sliver < dt_min: a remainder below the Brownian-tree leaf
+        # resolution quantizes both endpoints to the same leaf and would
+        # integrate the last segment drift-only (zero increment)
+        t1 = jnp.where(t_end - (t0 + dt) < dt_min, t_end, t0 + dt)
         tm = 0.5 * (t0 + t1)
 
         f0, g0 = f(t0, y), g(t0, y)

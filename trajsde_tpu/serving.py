@@ -39,6 +39,14 @@ def make_serving_fn(
     the better engine for that regime).
     """
     decoder = model.decoder
+    if getattr(decoder, "sde_layers", 2) != 2:
+        # rollout_params_from_linen reads only the 2-layer topology; deeper
+        # nets would silently serve a TRUNCATED MLP (same guard as
+        # SDEDecoder(fused=True))
+        raise NotImplementedError(
+            "the Pallas serving rollout hardcodes sde_layers=2 "
+            f"(decoder has {decoder.sde_layers}); use the scan engine"
+        )
     kp = rollout_params_from_linen(params["params"]["decoder"]["sde_rollout"])
     t0s, dts = decoder.time_grid()
     Tf = decoder.future_steps

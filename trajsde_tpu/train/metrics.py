@@ -41,7 +41,12 @@ def ade_t_update(
 ) -> Tuple[jax.Array, jax.Array]:
     """minADE with the per-dataset best-mode rule (``metrics/ade_t.py:44-66``):
     nuScenes eval → best mode by min ADE; Argoverse eval → best mode by min
-    FDE at the per-source end index."""
+    FDE at the per-source end index.
+
+    Deliberate parity note: the FDE selection indexes the MASK-ZEROED l2
+    (a row invalid at its end step ties argmin to mode 0 yet still counts)
+    because the reference does exactly that — ``l2[:, ~reg_mask] = 0``
+    precedes its end-index gather (``metrics/ade_t.py:47-60``)."""
     l2 = _l2(pred, target) * reg_mask[:, None]
     valid = jnp.any(reg_mask, axis=-1)                          # [B]
     steps = jnp.maximum(jnp.sum(reg_mask, axis=-1), 1)[:, None]
