@@ -92,6 +92,35 @@ def test_pack_scenes_truncation_and_remap(rng):
         assert not bool(batch.padding_mask[b, a, 20])  # agent valid at ref
 
 
+def test_actor_keep_order_ignores_placeholder_positions(rng):
+    """Capacity ranking must use each actor's LAST OBSERVED position —
+    positions at padded steps are zero placeholders at the scene origin,
+    which ranked far-away ghosts as if they stood at the AV."""
+    from trajsde_tpu.data.pack import REF_TIME, _actor_keep_order
+
+    raw = align_to_grid(make_raw_scene(rng, 1, num_actors=4, num_lanes=6))
+    raw["agent_index"] = np.int32(0)
+    raw["av_index"] = np.int32(1)
+    near, ghost = 2, 3
+    apos = raw["positions"][0, REF_TIME].copy()
+    # near: observed at the reference step, ~42 m from the agent
+    raw["padding_mask"][near, : REF_TIME + 1] = False
+    raw["positions"][near] = apos + 30.0
+    # ghost: unobserved at ref (zero placeholder there), last seen at
+    # step 10 roughly 424 m away
+    raw["padding_mask"][ghost, :] = True
+    raw["padding_mask"][ghost, 10] = False
+    raw["positions"][ghost] = 0.0
+    raw["positions"][ghost, 10] = apos + 300.0
+
+    order = list(_actor_keep_order(raw))
+    assert set(order[:2]) == {0, 1}  # agent + AV always kept first
+    assert order.index(near) < order.index(ghost)
+    # a never-observed actor ranks dead last
+    raw["padding_mask"][ghost, :] = True
+    assert list(_actor_keep_order(raw))[-1] == ghost
+
+
 def test_bucketed_loader_bounded_shapes_and_truncation(rng, tmp_path):
     """A mixed-size stream packs into a bounded set of bucket shapes, and
     truncation by the capacity caps is COUNTED, not silent (VERDICT r1

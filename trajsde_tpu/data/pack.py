@@ -34,13 +34,28 @@ def pick_bucket(n: int, buckets: Sequence[int]) -> int:
 
 
 def _actor_keep_order(scene: Dict[str, np.ndarray]) -> np.ndarray:
+    """Capacity ranking: agent, AV, then actors by distance of their LAST
+    OBSERVED past position to the agent at the reference step.
+
+    Positions at padded steps are zero placeholders (the scene origin);
+    ranking on ``positions[:, REF_TIME]`` directly would score every actor
+    unobserved at the reference step as if it stood at the AV, letting
+    far-away ghosts displace real nearby actors when truncation fires.
+    Actors with no past observation at all rank last (their history is all
+    bos tokens anyway)."""
     n = scene["x"].shape[0]
     agent = int(scene["agent_index"])
     av = int(scene["av_index"])
-    ref_pos = scene["positions"][:, REF_TIME]
-    d = np.linalg.norm(ref_pos - ref_pos[agent], axis=-1)
+    pad = np.asarray(scene["padding_mask"], bool)[:, : REF_TIME + 1]
+    obs = ~pad
+    has_obs = obs.any(-1)
+    last = np.where(has_obs, REF_TIME - np.argmax(obs[:, ::-1], axis=-1), 0)
+    last_pos = scene["positions"][np.arange(n), last]
+    d = np.linalg.norm(last_pos - scene["positions"][agent, REF_TIME], axis=-1)
+    d[~has_obs] = np.inf
     d[agent] = -np.inf
-    d[av] = -np.inf if av != agent else d[av]
+    if av != agent:
+        d[av] = -np.inf
     return np.argsort(d, kind="stable")
 
 
@@ -163,7 +178,10 @@ def pack_scenes(
             if hg is None:
                 has_goal[b, :n] = g.any(-1)
             else:
-                has_goal[b, :n] = np.asarray(hg, bool)[order]
+                # an actor whose goal lane was truncated out by the lane
+                # keep-order has an all-zero one-hot row — its flag must
+                # drop with it or goal consumers normalize by zero mass
+                has_goal[b, :n] = np.asarray(hg, bool)[order] & g.any(-1)
 
     conv = jnp.asarray if as_jax else (lambda a: a)
     return SceneBatch(

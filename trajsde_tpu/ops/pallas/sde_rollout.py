@@ -365,11 +365,18 @@ def sde_rollout_train(
     The XLA ``lax.scan`` path materializes ~6 per-step MLP residuals in HBM
     and reads them back in the backward; here the only HBM traffic beyond
     the forward's own outputs is one read of (states, cotangents) per step.
+
+    Gradients are defined with respect to ``y0`` and ``params`` ONLY —
+    ``t0s``/``dts``/``noise`` are explicitly ``stop_gradient``-ed (the
+    backward kernel does not compute their cotangents), so a learnable
+    time grid or a pathwise-noise objective must use the XLA scan path.
     """
     ws = tuple(params[k] for k in W_ROLLOUT_ORDER)
+    sg = jax.lax.stop_gradient
     return _rollout_train(
         num_steps, block_rows, unroll, interpret, increments,
-        y0, ws, t0s, dts, seed, noise,
+        y0, ws, sg(t0s), sg(dts), seed,
+        None if noise is None else sg(noise),
     )
 
 

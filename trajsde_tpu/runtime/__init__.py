@@ -25,15 +25,24 @@ _build_failed = False
 
 
 def _build() -> bool:
+    # compile to a process-unique temp then rename: os.rename is atomic, so
+    # concurrent processes (the multihost setup runs several on one host)
+    # never dlopen a partially linked library
+    tmp = f"{_LIB}.{os.getpid()}.tmp"
     try:
         subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", _SRC, "-o", _LIB],
+            ["g++", "-O3", "-shared", "-fPIC", _SRC, "-o", tmp],
             check=True,
             capture_output=True,
             timeout=120,
         )
+        os.rename(tmp, _LIB)
         return True
     except Exception:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
         return False
 
 

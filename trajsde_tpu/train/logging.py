@@ -34,8 +34,6 @@ class ExperimentLogger:
         self._tb = (
             SummaryWriter(self.log_dir) if (_HAS_TB and use_tensorboard) else None
         )
-        self._t_last: Optional[float] = None
-        self._step_last: Optional[int] = None
 
     def log_scalars(self, step: int, scalars: Dict[str, float]) -> None:
         record = {"step": step, "time": time.time()}
@@ -46,19 +44,6 @@ class ExperimentLogger:
                 self._tb.add_scalar(k, v, step)
         self._jsonl.write(json.dumps(record) + "\n")
         self._jsonl.flush()
-
-    def log_throughput(self, step: int, scenes: int) -> None:
-        now = time.time()
-        if self._t_last is not None and step > self._step_last:
-            dt = now - self._t_last
-            self.log_scalars(
-                step,
-                {
-                    "perf/steps_per_s": (step - self._step_last) / dt,
-                    "perf/scenes_per_s": scenes * (step - self._step_last) / dt,
-                },
-            )
-        self._t_last, self._step_last = now, step
 
     def close(self) -> None:
         self._jsonl.close()
@@ -96,7 +81,9 @@ class ProfilerHook:
         self._active = False
 
     def on_step(self, step: int) -> None:
-        if step == self.start_step and not self._active:
+        # window test, not equality: a run resumed PAST start_step (the
+        # step counter continues from the checkpoint) must still trace
+        if self.start_step <= step < self.stop_step and not self._active:
             jax.profiler.start_trace(self.trace_dir)
             self._active = True
         elif step >= self.stop_step and self._active:
