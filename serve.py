@@ -31,9 +31,16 @@ def main() -> None:
     ap.add_argument("-c", "--config", default=None)
     ap.add_argument("--ckpt", default=None)
     ap.add_argument("--input-dir", default=None)
-    ap.add_argument("--output-dir", required=True)
+    ap.add_argument("--output-dir", default=None,
+                    help="prediction npz output dir (batch/daemon modes)")
     ap.add_argument("--daemon", action="store_true",
                     help="JSON-lines request loop on stdin")
+    ap.add_argument("--http", type=int, default=None, metavar="PORT",
+                    help="serve over HTTP (POST /predict with .npz bytes, "
+                         "GET /stats, GET /healthz); concurrent requests "
+                         "share device dispatches via the micro-batcher")
+    ap.add_argument("--host", default="127.0.0.1",
+                    help="bind address for --http")
     ap.add_argument("--engine", choices=["auto", "kernel", "scan"], default="auto")
     ap.add_argument("--increments", choices=["rademacher", "gaussian"],
                     default="rademacher")
@@ -56,8 +63,10 @@ def main() -> None:
                     help="serve from an --export artifact: no config, "
                          "checkpoint, or model build needed")
     args = ap.parse_args()
-    if not args.daemon and not args.input_dir:
-        ap.error("either --input-dir or --daemon is required")
+    if not args.daemon and not args.input_dir and args.http is None:
+        ap.error("one of --input-dir, --daemon, or --http is required")
+    if args.output_dir is None and args.http is None:
+        ap.error("--output-dir is required outside --http mode")
     if args.from_export is None and (args.config is None or args.ckpt is None):
         ap.error("-c/--config and --ckpt are required unless --from-export")
     if args.from_export and args.export:
@@ -90,12 +99,18 @@ def main() -> None:
         if not paths:
             raise SystemExit(f"no .npz scenes under {args.input_dir}")
         example_raw = load_raw(paths[0])
-    else:
+    elif args.daemon:
         first_line = sys.stdin.readline()
         if not first_line.strip():
             raise SystemExit("daemon mode: no request on stdin")
         first_req = json.loads(first_line)
         example_raw = load_raw(first_req["npz"])
+    else:  # --http: a synthetic scene fixes the init-template shapes
+        from trajsde_tpu.data.synthetic import make_raw_scene
+
+        example_raw = make_raw_scene(
+            np.random.default_rng(0), 0, num_actors=4, num_lanes=4
+        )
 
     if args.from_export:
         engine = ServingEngine.from_export(
@@ -148,6 +163,26 @@ def main() -> None:
         print(json.dumps({"exported": os.path.abspath(args.export),
                           "buckets": manifest["buckets"],
                           "platforms": manifest["platforms"]}))
+        return
+
+    if args.http is not None:
+        from trajsde_tpu.httpd import run_http_server
+
+        if args.warmup:
+            engine.warmup(example_raw)
+        import threading
+
+        server, port = run_http_server(engine, args.host, args.http)
+        print(json.dumps({"http": f"{args.host}:{port}"}), flush=True)
+        try:
+            threading.Event().wait()  # serve until interrupted
+        except KeyboardInterrupt:
+            pass
+        finally:
+            server.shutdown()
+            stats = engine.stats()
+            engine.close()
+            print(json.dumps(stats))
         return
 
     os.makedirs(args.output_dir, exist_ok=True)

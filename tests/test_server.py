@@ -197,6 +197,68 @@ def test_submit_propagates_errors(engine_setup):
     eng.close()
 
 
+def test_http_endpoint(engine_setup, rng):
+    """HTTP front-end: concurrent POST /predict requests share device
+    dispatches via the micro-batcher; stats/health/errors served."""
+    import io
+    import json as _json
+    import urllib.error
+    import urllib.request
+    from concurrent.futures import ThreadPoolExecutor
+
+    from trajsde_tpu.httpd import run_http_server
+
+    model, params = engine_setup
+    eng = _mk_engine(model, params, max_wait_ms=300.0)
+    eng.warmup(make_raw_scene(rng, 0, num_actors=5, num_lanes=6))
+    server, port = run_http_server(eng, "127.0.0.1", 0)
+    base = f"http://127.0.0.1:{port}"
+    try:
+        with urllib.request.urlopen(f"{base}/healthz", timeout=30) as r:
+            assert _json.loads(r.read())["status"] == "ok"
+
+        def post_scene(i):
+            raw = make_raw_scene(rng, i % 2, num_actors=5, num_lanes=6)
+            buf = io.BytesIO()
+            np.savez(buf, **raw)
+            req = urllib.request.Request(
+                f"{base}/predict", data=buf.getvalue(),
+                headers={"Content-Type": "application/octet-stream"},
+            )
+            with urllib.request.urlopen(req, timeout=300) as r:
+                return _json.loads(r.read())
+
+        with ThreadPoolExecutor(4) as ex:
+            results = list(ex.map(post_scene, range(4)))
+        K, Tf = model.decoder.num_modes, model.decoder.future_steps
+        for res in results:
+            world = np.asarray(res["agent_world"])
+            assert world.shape == (K, Tf, 2) and np.isfinite(world).all()
+            np.testing.assert_allclose(np.sum(res["agent_pi"]), 1.0, rtol=1e-5)
+
+        with urllib.request.urlopen(f"{base}/stats", timeout=30) as r:
+            st = _json.loads(r.read())
+        assert st["served"] >= 4
+        # the 300 ms batching window must have grouped concurrent posts
+        assert st["mean_batch"] > 1.0
+
+        # malformed body → 400; unknown path → 404 (engine stays alive)
+        req = urllib.request.Request(
+            f"{base}/predict", data=b"junk",
+            headers={"Content-Type": "application/octet-stream"},
+        )
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=30)
+        assert ei.value.code == 400
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(f"{base}/nope", timeout=30)
+        assert ei.value.code == 404
+        assert post_scene(0)["agent_pi"]  # still serving after errors
+    finally:
+        server.shutdown()
+        eng.close()
+
+
 @pytest.mark.slow
 def test_serve_cli_batch_and_daemon(tmp_path, rng):
     from test_cli import ENV, _make_config, _make_data

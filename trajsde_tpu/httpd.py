@@ -1,0 +1,107 @@
+"""HTTP front-end for the serving engine (stdlib-only, no framework deps).
+
+The reference has no serving story at all (its eval surface is
+``trainer.test``, ``/root/reference/test.py:58``); this completes the
+deployment analog: :class:`trajsde_tpu.server.ServingEngine` behind a
+threaded HTTP API.  One OS thread per in-flight request (stdlib
+``ThreadingHTTPServer``) — each handler parks on ``engine.submit``'s
+Future, so CONCURRENT requests are grouped by the engine's micro-batcher
+into shared device dispatches, which is exactly the batching discipline
+the engine was built around.
+
+Endpoints:
+
+- ``POST /predict`` — body is either a raw ``.npz`` scene (the
+  preprocessor shard schema; ``Content-Type: application/octet-stream``)
+  or JSON ``{"npz": "/local/path.npz"}``.  Response: JSON with ``loc``,
+  ``pi``, ``agent_world`` (the submission payload), ``agent_pi``,
+  ``seq_id``.
+- ``GET /stats`` — engine latency/occupancy counters.
+- ``GET /healthz`` — liveness probe (200 once the engine is up).
+
+Start via ``serve.py --http PORT`` (see there for engine/artifact
+options) or embed with :func:`make_http_server`.
+"""
+from __future__ import annotations
+
+import io
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+
+def _json_ready(result):
+    out = {}
+    for k, v in result.items():
+        a = np.asarray(v)
+        out[k] = a.tolist() if a.ndim else a.item()
+    return out
+
+
+def make_http_server(engine, host: str = "127.0.0.1", port: int = 0):
+    """Build (not start) a ``ThreadingHTTPServer`` fronting ``engine``.
+
+    ``port=0`` binds an ephemeral port; read it back from
+    ``server.server_address[1]``.  Call ``serve_forever()`` (blocking) or
+    drive it from a thread; ``shutdown()`` stops it without closing the
+    engine (the caller owns the engine lifecycle).
+    """
+
+    class Handler(BaseHTTPRequestHandler):
+        # quiet: one access-log line per request would swamp the console
+        def log_message(self, fmt, *args):  # noqa: A003
+            pass
+
+        def _reply(self, code: int, payload: dict) -> None:
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):  # noqa: N802
+            if self.path == "/healthz":
+                self._reply(200, {"status": "ok"})
+            elif self.path == "/stats":
+                self._reply(200, engine.stats())
+            else:
+                self._reply(404, {"error": f"unknown path {self.path!r}"})
+
+        def do_POST(self):  # noqa: N802
+            if self.path != "/predict":
+                self._reply(404, {"error": f"unknown path {self.path!r}"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                body = self.rfile.read(n)
+                ctype = (self.headers.get("Content-Type") or "").split(";")[0]
+                if ctype == "application/json":
+                    req = json.loads(body)
+                    with np.load(req["npz"], allow_pickle=False) as z:
+                        scene = {k: z[k] for k in z.files}
+                else:  # raw .npz bytes
+                    with np.load(io.BytesIO(body), allow_pickle=False) as z:
+                        scene = {k: z[k] for k in z.files}
+            except Exception as e:  # malformed input is the CLIENT's error
+                self._reply(400, {"error": f"bad request: {e!r}"})
+                return
+            try:
+                # park on the future: the engine's micro-batcher groups
+                # this with every other thread currently waiting
+                result = engine.submit(scene).result()
+                self._reply(200, _json_ready(result))
+            except Exception as e:
+                self._reply(500, {"error": repr(e)})
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def run_http_server(engine, host: str, port: int):
+    """Start the server on a daemon thread; returns (server, bound_port)."""
+    server = make_http_server(engine, host, port)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    return server, server.server_address[1]
