@@ -45,7 +45,15 @@ def main() -> None:
         raise FileNotFoundError(args.torch_ckpt)
     ckpt = torch.load(args.torch_ckpt, map_location="cpu", weights_only=False)
     sd = ckpt.get("state_dict", ckpt)
-    sd = {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v) for k, v in sd.items()}
+    def to_np(v):
+        if hasattr(v, "detach"):  # torch tensor; bf16 has no numpy() path
+            v = v.detach()
+            if v.dtype == torch.bfloat16:
+                v = v.float()
+            return v.cpu().numpy()
+        return np.asarray(v)
+
+    sd = {k: to_np(v) for k, v in sd.items()}
 
     cfg = load_config(args.config)
     model = build_model(cfg)

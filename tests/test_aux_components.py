@@ -145,3 +145,10 @@ def test_reduction_mlp_shapes(rng):
     params = mod.init(jax.random.key(0), x)
     out = mod.apply(params, x)
     assert out.shape == (5, 8)
+    # width schedule matches the reference MLP (util.py:168,178): the
+    # input layer and the FIRST hidden layer share max(out, in/f); for
+    # (in=32, out=8, f=0.5, num_layers=2) that is [32→64, 64→64, 64→8]
+    kernels = [
+        params["params"][f"Dense_{i}"]["kernel"].shape for i in range(3)
+    ]
+    assert kernels == [(32, 64), (64, 64), (64, 8)], kernels

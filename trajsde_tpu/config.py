@@ -42,12 +42,25 @@ class ExperimentConfig:
         names = self.raw.get("losses_module", [])
         weights = self.raw.get("loss_weights", [1.0] * len(names))
         args = self.raw.get("loss_args", [{}] * len(names))
+        if len(weights) != len(names) or len(args) != len(names):
+            # zip() would silently DROP the unmatched tail — a loss listed
+            # in losses_module but missing a weight would never train
+            raise ValueError(
+                f"losses_module has {len(names)} entries but loss_weights "
+                f"has {len(weights)} / loss_args has {len(args)} — the "
+                "lists must align one-to-one"
+            )
         return list(zip(names, weights, args))
 
     @property
     def metric_specs(self) -> List[tuple]:
         names = self.raw.get("metrics_module", [])
         args = self.raw.get("metric_args", [{}] * len(names))
+        if len(args) != len(names):
+            raise ValueError(
+                f"metrics_module has {len(names)} entries but metric_args "
+                f"has {len(args)} — the lists must align one-to-one"
+            )
         return list(zip(names, args))
 
     @property

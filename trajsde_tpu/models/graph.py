@@ -74,11 +74,7 @@ def al_edges(
     the actor is valid at the reference step, and (runtime
     ``DistanceDropEdge``) ‖vec‖ < local_radius.
     """
-    lane_len = jnp.sum(~scene.lane_paddings, axis=-1)              # [B, L]
-    last = jnp.clip(lane_len - 1, 0, scene.lane_positions.shape[2] - 1)
-    lane_end = jnp.take_along_axis(
-        scene.lane_positions, last[:, :, None, None].astype(jnp.int32), axis=2
-    )[:, :, 0, :]                                                  # [B, L, 2]
+    lane_end = _lane_end(scene)                                    # [B, L, 2]
 
     actor_pos = scene.positions[:, :, ref_time]                    # [B, A, 2]
     vec = lane_end[:, None, :, :] - actor_pos[:, :, None, :]       # [B, A, L, 2]
@@ -102,19 +98,22 @@ def al_edges(
     return mask, vec
 
 
+def _lane_end(scene: SceneBatch) -> jax.Array:
+    """Last VALID pose of each padded lane polyline, [B, L, 2]."""
+    lane_len = jnp.sum(~scene.lane_paddings, axis=-1)              # [B, L]
+    last = jnp.clip(lane_len - 1, 0, scene.lane_positions.shape[2] - 1)
+    return jnp.take_along_axis(
+        scene.lane_positions, last[:, :, None, None].astype(jnp.int32), axis=2
+    )[:, :, 0, :]
+
+
 def lane_features(scene: SceneBatch) -> jax.Array:
     """Lane feature = end pose − start pose of each segment, [B, L, 2].
 
     Matches ``enc_hivt_nusargo_grid.py:82-85`` (endpoint-minus-startpoint of
     the padded lane polyline).
     """
-    lane_len = jnp.sum(~scene.lane_paddings, axis=-1)
-    last = jnp.clip(lane_len - 1, 0, scene.lane_positions.shape[2] - 1)
-    lane_end = jnp.take_along_axis(
-        scene.lane_positions, last[:, :, None, None].astype(jnp.int32), axis=2
-    )[:, :, 0, :]
-    lane_start = scene.lane_positions[:, :, 0]
-    return lane_end - lane_start
+    return _lane_end(scene) - scene.lane_positions[:, :, 0]
 
 
 def global_edges(scene: SceneBatch, ref_time: int) -> tuple:

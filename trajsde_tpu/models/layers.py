@@ -247,7 +247,10 @@ class MultiheadSelfAttention(nn.Module):
         k = k.reshape(k.shape[:-1] + (H, head_dim))
         v = v.reshape(v.shape[:-1] + (H, head_dim))
         logits = jnp.einsum("...qhd,...khd->...hqk", q, k) / (head_dim ** 0.5)
-        logits = logits + attn_mask  # additive mask, [..., q, k] broadcast over heads
+        # additive mask [..., q, k]: insert the head axis HERE so a batched
+        # mask can never misalign its batch dim against heads (a [B, q, k]
+        # mask with B == num_heads would otherwise broadcast silently wrong)
+        logits = logits + attn_mask[..., None, :, :]
         w = jax.nn.softmax(logits, axis=-1)
         w = nn.Dropout(self.dropout)(w, deterministic=deterministic)
         out = jnp.einsum("...hqk,...khd->...qhd", w, v)
@@ -272,6 +275,9 @@ class ReductionMLP(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        # width schedule matches the reference exactly: the input layer and
+        # the first hidden layer share max(out, in/f); hidden layer i
+        # (0-based) is max(out, in/f^(i+1)) (``util.py:168,178``)
         width = max(self.output_dim, int(self.input_dim / self.reduction_factor))
         for i in range(self.num_layers):
             x = nn.Dense(width, kernel_init=XAVIER, dtype=self.dtype)(x)
@@ -280,7 +286,7 @@ class ReductionMLP(nn.Module):
             x = nn.Dropout(self.dropout_rate)(x, deterministic=deterministic)
             width = max(
                 self.output_dim,
-                int(self.input_dim / (self.reduction_factor ** (i + 2))),
+                int(self.input_dim / (self.reduction_factor ** (i + 1))),
             )
         return nn.Dense(self.output_dim, kernel_init=XAVIER, dtype=self.dtype)(x)
 

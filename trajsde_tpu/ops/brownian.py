@@ -78,9 +78,9 @@ class BrownianTree:
             hi = jnp.where(go_left, mid, hi)
             w_lo = jnp.where(go_left, w_lo, w_mid)
             w_hi = jnp.where(go_left, w_mid, w_hi)
-            # degenerate interval (lo == hi): keep values pinned
-            same = lo == hi
-            w_hi = jnp.where(same, w_lo, w_hi)
+            # the interval length is exactly 2^(depth-k) at level k, so it
+            # is ≥ 2 on every iteration and reaches exactly 1 on exit —
+            # lo == hi can never occur inside the loop
             return lo, hi, w_lo, w_hi
 
         lo0 = jnp.zeros((), jnp.int32)

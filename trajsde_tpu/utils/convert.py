@@ -242,10 +242,20 @@ _DECODERS = {
 
 def build_rules(cfg) -> RuleSet:
     """RuleSet for an ``ExperimentConfig`` (the reference YAML schema)."""
+    from trajsde_tpu.registry import ALIASES
+
+    # rules are keyed by the REFERENCE class names; a config written with
+    # the native registry names (e.g. LocalEncoderSDESep) must resolve to
+    # the same rules
+    canon = {native: ref for ref, native in ALIASES.items()}
+
     m = RuleSet()
     enc_name, enc_kw = cfg.component("encoder")
     agg_name, agg_kw = cfg.component("aggregator")
     dec_name, dec_kw = cfg.component("decoder")
+    enc_name = canon.get(enc_name, enc_name)
+    agg_name = canon.get(agg_name, agg_name)
+    dec_name = canon.get(dec_name, dec_name)
     try:
         _ENCODERS[enc_name](m, enc_kw)
     except KeyError:
