@@ -27,7 +27,7 @@ import optax
 
 BATCH, ACTORS, LANES = 128, 32, 64
 PROD_BATCH, PROD_ACTORS, PROD_LANES = 128, 48, 192
-WARMUP, ITERS = 1, 20
+ITERS = 20
 PROD_ITERS = 10
 BASELINE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_BASELINE.json")
 
@@ -88,11 +88,19 @@ def main() -> None:
     cost = step.lower(state, scene).compile().cost_analysis() or {}
     total_flops = float(cost.get("flops", float("nan"))) * ITERS
     kind = jax.devices()[0].device_kind
-    peak = {
+    peaks = {
         "TPU v5 lite": 394e12,   # v5e bf16 peak
         "TPU v5": 459e12,        # v5p
         "TPU v4": 275e12,
-    }.get(kind.rstrip("0123456789 "), None)
+        "TPU v6 lite": 918e12,   # v6e (Trillium)
+    }
+    # exact kind first, then longest key prefix ("TPU v5 lite" must not
+    # fall through to "TPU v5"); rstrip-of-digits would mangle "TPU v4"
+    peak = peaks.get(kind) or next(
+        (v for k, v in sorted(peaks.items(), key=lambda kv: -len(kv[0]))
+         if kind.startswith(k)),
+        None,
+    )
 
     state, checksum = run_steps(state, scene)  # warmup (executable cached)
     assert np.isfinite(float(checksum))

@@ -47,8 +47,6 @@ def devkit_lane_provider():
 
 
 def process_scene(
-    timestamps: np.ndarray,
-    track_ids: List,
     obs_steps: List[np.ndarray],
     obs_xy: List[np.ndarray],
     av_track: int,
@@ -86,6 +84,10 @@ def process_scene(
     lanes = common.pad_lane_segments(segments, lseg_len)
 
     goal_pos = tracks["positions"][:, -1]
+    # verbatim reference quirk (``Argoverse_abs.py:240``): the penultimate
+    # position may be a zero placeholder when that step is padded, making
+    # the heading spurious for actors unobserved at step -2 — reproduced
+    # for label parity, not endorsed
     goal_diff = tracks["positions"][:, -1] - tracks["positions"][:, -2]
     goal_mask = ~tracks["padding_mask"][:, -1]
     goal_idcs, has_goal = common.assign_goal_lanes(
@@ -138,8 +140,6 @@ class ArgoversePreprocessor:
         av_id = df[df["OBJECT_TYPE"] == "AV"]["TRACK_ID"].iloc[0]
         agent_id = df[df["OBJECT_TYPE"] == "AGENT"]["TRACK_ID"].iloc[0]
         return process_scene(
-            timestamps,
-            actor_ids,
             obs_steps,
             obs_xy,
             actor_ids.index(av_id),

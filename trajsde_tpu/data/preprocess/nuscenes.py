@@ -130,6 +130,8 @@ def process_scene(
     lane_edges, lane_edge_types = common.lane_edge_arrays(e_succ, e_pred, e_prox)
 
     goal_pos = tracks["positions"][:, -1]
+    # verbatim reference quirk (see argoverse.py note / Argoverse_abs.py:240):
+    # a padded penultimate step leaves a zero placeholder in the diff
     goal_diff = tracks["positions"][:, -1] - tracks["positions"][:, -2]
     goal_mask = ~tracks["padding_mask"][:, -1]
     goal_idcs, has_goal = common.assign_goal_lanes(goal_pos, goal_diff, goal_mask, segments)

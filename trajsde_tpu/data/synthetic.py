@@ -21,31 +21,16 @@ import numpy as np
 
 import jax.numpy as jnp
 
+from trajsde_tpu.data.grid import NUS_SCALE, REF_TIME, TF, TH, domain_slot_masks
 from trajsde_tpu.data.scene import SceneBatch
 
-TH, TF = 21, 60
-REF_TIME = 20
-NUS_SCALE = 5.0
+# the slot grid is the REAL pipeline's (one definition; fixtures that
+# drift from data/grid.py would silently stop matching it)
+grid_masks = domain_slot_masks
 
 # domain-native step counts (what the offline preprocessors emit):
 # nuScenes 2 Hz: 5 past (incl. ref) + 12 future; Argoverse 10 Hz: 20 + 30
 DOMAIN_STEPS = {0: (5, 12), 1: (20, 30)}
-
-
-def grid_masks(source: int) -> tuple:
-    """(past_slots [21] bool, fut_slots [60] bool) for a domain.
-
-    Matches ``nuScenes_Argoverse.py:91-103``.
-    """
-    past = np.zeros(TH, dtype=bool)
-    fut = np.zeros(TF, dtype=bool)
-    if source == 0:  # nuScenes, 2 Hz
-        past[::5] = True                 # ts −20..0 step 5 → slots 0,5,10,15,20
-        fut[4::5] = True                 # ts 5,10,...,60 → slots 4,9,...,59
-    else:  # Argoverse, 10 Hz
-        past[1:] = True                  # ts −19..0 → slots 1..20
-        fut[:30] = True                  # ts 1..30 → slots 0..29
-    return past, fut
 
 
 def make_raw_scene(
@@ -78,7 +63,10 @@ def make_raw_scene(
         t_axis = (np.arange(tt) - (tp - 1)) * dt
         positions[a] = p0[None] + vel[None] * t_axis[:, None]
         angles[a] = np.arctan2(vel[1], vel[0])
-        start = 0 if a == 0 else int(rng.integers(0, tp))
+        # start ≤ tp−2: an actor with future labels always has ≥2 past
+        # observations, the invariant build_tracks enforces (hist < 2 or
+        # padded-at-ref ⇒ future masked, preprocess/common.py)
+        start = 0 if a == 0 else int(rng.integers(0, tp - 1))
         padding[a, start:] = False
         if rng.uniform() < 0.15 and a != 0:
             padding[a, tp:] = True
@@ -165,8 +153,10 @@ def make_scene_batch(
             positions[b, a] = traj.astype(np.float32)
             angles[b, a] = heading
 
-            # appearance window: a random first-valid historical slot
-            first_slot_choices = np.nonzero(past_slots)[0]
+            # appearance window: a random first-valid historical slot,
+            # excluding the reference slot itself so every future-labeled
+            # actor has ≥2 past observations (the build_tracks invariant)
+            first_slot_choices = np.nonzero(past_slots)[0][:-1]
             start = int(rng.choice(first_slot_choices)) if a else 0
             valid = slot_mask.copy()
             valid[:start] = False

@@ -55,12 +55,15 @@ def cluster_and_rank(
     assign = np.asarray(assign)
     modes = np.zeros((k, T, 2), np.float32)
     probs = np.zeros((k,), np.float32)
+    # one rng for ALL empty-cluster fallbacks: re-seeding per cluster would
+    # hand every empty cluster the identical replacement trajectory
+    fallback_rng = np.random.default_rng(seed)
     for c in range(k):
         m = assign == c
         probs[c] = m.mean()
         if m.any():
             modes[c] = trajs[m].mean(0)
         else:
-            modes[c] = trajs[np.random.default_rng(seed).integers(0, S)]
+            modes[c] = trajs[fallback_rng.integers(0, S)]
     order = np.argsort(-probs, kind="stable")
     return modes[order], probs[order]

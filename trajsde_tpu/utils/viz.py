@@ -26,12 +26,17 @@ def _plt():
 
 
 def _scene_arrays(scene, b: int):
+    has_lanes = scene.lane_positions is not None
     return {
         "positions": np.asarray(scene.positions[b]),
         "padding": np.asarray(scene.padding_mask[b]),
-        "lanes": np.asarray(scene.lane_positions[b]),
-        "lane_pad": np.asarray(scene.lane_paddings[b]),
-        "lane_valid": np.asarray(scene.lane_valid[b]),
+        # lane fields are Optional on SceneBatch — draw actors-only scenes
+        "lanes": np.asarray(scene.lane_positions[b])
+        if has_lanes else np.zeros((0, 1, 2), np.float32),
+        "lane_pad": np.asarray(scene.lane_paddings[b])
+        if has_lanes else np.ones((0, 1), bool),
+        "lane_valid": np.asarray(scene.lane_valid[b])
+        if has_lanes else np.zeros((0,), bool),
         "actor_valid": np.asarray(scene.actor_valid[b]),
         "agent": int(scene.agent_index[b]),
         "th": int(scene.historical_steps),
