@@ -125,8 +125,16 @@ def main():
     ap.add_argument("--eval-every", type=int, default=30)
     ap.add_argument("--n-train", type=int, default=60)
     ap.add_argument("--n-val", type=int, default=16)
+    ap.add_argument(
+        "--seed", type=int, default=0,
+        help="training-noise seed offset: dataset, transplanted init and "
+        "eval draws stay IDENTICAL across seeds; only the Brownian/dropout "
+        "streams of the four training runs move — repeated runs sample the "
+        "seed-to-seed distribution the final deltas are judged against",
+    )
     ap.add_argument("--out", default="PARITY_TRAIN.json")
     args = ap.parse_args()
+    soff = args.seed * 1_000_003  # decorrelate the per-seed noise streams
 
     rng = np.random.default_rng(0)
     train_scenes = [gen_scene(rng, s % 2) for s in range(args.n_train)]
@@ -338,14 +346,14 @@ def main():
     # ---------------- the run ---------------------------------------------
     history = []
     jl_acc, tl_acc, jt_time, tt_time = [], [], 0.0, 0.0
-    key = jax.random.key(42)
+    key = jax.random.key(42 + soff)
 
     # noise replica: the SAME stack, SAME init, different Brownian/dropout
     # seeds — its final distance from the primary run is the seed-to-seed
     # yardstick against which the repo-vs-reference delta must be judged
     # (training is stochastic; two runs of ONE stack also diverge)
     params_rep, opt_state_rep = params, opt.init(params)
-    key_rep = jax.random.key(4242)
+    key_rep = jax.random.key(4242 + soff)
 
     # warm-up compile (functional: discarding the outputs leaves the run
     # untouched) so ms/step measures steady-state, not XLA compilation
@@ -385,7 +393,7 @@ def main():
         )
 
         t0 = time.perf_counter()
-        torch.manual_seed(1_000 + step)
+        torch.manual_seed(1_000 + step + soff)
         data = torch_data(("train", (step - 1) % len(train_scenes)), scene)
         o = torch_forward(data)
         tl = t_l2({"y": data["y"]}, o) + t_bce({"y": data["y"]}, o)
@@ -395,7 +403,7 @@ def main():
         tt_time += time.perf_counter() - t0
         tl_acc.append(float(tl))
 
-        torch.manual_seed(700_000 + step)
+        torch.manual_seed(700_000 + step + soff)
         o2 = torch_forward(data, ref_enc2, ref_agg2, ref_dec2)
         tl2 = t_l2({"y": data["y"]}, o2) + t_bce({"y": data["y"]}, o2)
         t_opt2.zero_grad()
@@ -427,6 +435,7 @@ def main():
         "config": {
             "A": A, "TH": TH, "TF": TF, "D": D, "F": F, "steps": args.steps,
             "n_train": args.n_train, "n_val": args.n_val, "lr": LR, "wd": WD,
+            "seed": args.seed,
         },
         "history": history,
         "final_rel_delta": rel,
