@@ -296,3 +296,37 @@ def test_loader_end_to_end(rng, tmp_path):
     assert batch.x.shape == (4, 8, TH, 2)
     val_batches = list(dm.val_loader())
     assert len(val_batches) == 1 and int(np.asarray(val_batches[0].source).max()) == 0
+
+
+def test_shard_conversion_cli(rng, tmp_path):
+    """`python -m trajsde_tpu.data.shards src dst` mirrors every split
+    directory containing npz scenes into packed shards."""
+    import subprocess
+    import sys
+
+    src = tmp_path / "pre"
+    for sub in ("nuScenes/train", "nuScenes/val", "Argoverse/train"):
+        d = src / sub
+        os.makedirs(d)
+        for i in range(3):
+            np.savez(d / f"s{i:04d}.npz", **make_raw_scene(rng, 1))
+    dst = tmp_path / "shards"
+    env = dict(os.environ, TRAJSDE_FORCE_CPU="1", JAX_PLATFORMS="cpu")
+    env["PYTHONPATH"] = (
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        + os.pathsep + env.get("PYTHONPATH", "")
+    )
+    out = subprocess.run(
+        [sys.executable, "-m", "trajsde_tpu.data.shards", str(src), str(dst), "2"],
+        capture_output=True, text=True, env=env, check=True,
+    )
+    assert "nuScenes/train: 3 scenes -> 2 shards" in out.stdout
+    for sub in ("nuScenes/train", "nuScenes/val", "Argoverse/train"):
+        files = sorted(os.listdir(dst / sub))
+        assert files and all(f.endswith(".shard") for f in files)
+    # converted tree loads identically to the npz tree
+    a = NuArgoDataset("train", argo_dir=str(src / "Argoverse"), nus=False)
+    b = NuArgoDataset("train", argo_dir=str(dst / "Argoverse"), nus=False)
+    for i in range(len(a)):
+        for k in a[i]:
+            np.testing.assert_array_equal(np.asarray(a[i][k]), np.asarray(b[i][k]))

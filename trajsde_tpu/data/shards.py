@@ -112,3 +112,40 @@ def convert_npz_dir(
         write_shard(path, scenes)
         out_paths.append(path)
     return out_paths
+
+
+def _main() -> None:
+    """Offline conversion CLI:
+
+        python -m trajsde_tpu.data.shards <src_root> <dst_root> [N]
+
+    Walks every split directory under ``src_root`` that contains ``.npz``
+    scenes and writes the packed-shard mirror under ``dst_root`` (same
+    relative layout, N scenes per shard, default 256).  Point the config's
+    ``nu_dir``/``Argo_dir`` at ``dst_root``'s subtrees afterwards — the
+    loader consumes both formats, shards ~3-4x faster per batch.
+    """
+    import argparse
+
+    p = argparse.ArgumentParser(description=_main.__doc__)
+    p.add_argument("src_root")
+    p.add_argument("dst_root")
+    p.add_argument("scenes_per_shard", nargs="?", type=int, default=256)
+    args = p.parse_args()
+
+    converted = 0
+    for dirpath, _dirnames, filenames in os.walk(args.src_root):
+        if not any(f.endswith(".npz") for f in filenames):
+            continue
+        rel = os.path.relpath(dirpath, args.src_root)
+        dst = os.path.join(args.dst_root, rel)
+        paths = convert_npz_dir(dirpath, dst, args.scenes_per_shard)
+        n = sum(1 for f in filenames if f.endswith(".npz"))
+        print(f"{rel}: {n} scenes -> {len(paths)} shards")
+        converted += n
+    if not converted:
+        raise SystemExit(f"no .npz scenes found under {args.src_root}")
+
+
+if __name__ == "__main__":
+    _main()
