@@ -86,7 +86,7 @@ def main() -> None:
             [
                 sys.executable, "train.py", "-c", cfg_path,
                 "-n", "soak", "--logdir", run_root,
-                "--epochs", str(args.epochs), "--log-every", "10",
+                "--epochs", str(args.epochs), "--log-every", "2",
             ],
             check=True,
             cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -111,13 +111,19 @@ def main() -> None:
                 if any(k.startswith("val/") for k in rec):
                     print()
                 if "train/total" in rec:
-                    step_ts.append(rec["time"])
-        if len(step_ts) > 3:
-            deltas = np.diff(step_ts)
-            # each log record covers --log-every steps
+                    step_ts.append((rec["step"], rec["time"]))
+        # per-pair ms/step over consecutive train records; the median is
+        # robust to the few pairs that straddle an epoch boundary (val
+        # pass + checkpoint write inflate those)
+        pairs = [
+            (t1 - t0) / (s1 - s0) * 1e3
+            for (s0, t0), (s1, t1) in zip(step_ts, step_ts[1:])
+            if s1 > s0
+        ]
+        if pairs:
             print(
-                f"steady-state cadence: median {np.median(deltas) / 10 * 1e3:.0f}"
-                f" ms/step (over {len(deltas)} windows of 10 steps)"
+                f"steady-state cadence: median {np.median(pairs):.0f} ms/step "
+                f"(over {len(pairs)} record pairs)"
             )
         print(f"total wall (incl. compile): {wall:.1f}s")
 

@@ -330,3 +330,20 @@ def test_shard_conversion_cli(rng, tmp_path):
     for i in range(len(a)):
         for k in a[i]:
             np.testing.assert_array_equal(np.asarray(a[i][k]), np.asarray(b[i][k]))
+
+
+def test_shard_conversion_guards(rng, tmp_path):
+    """convert_npz_dir refuses in-place conversion and non-empty dst dirs
+    (stale shards would silently duplicate scenes under list_shards)."""
+    from trajsde_tpu.data.shards import convert_npz_dir
+
+    d = tmp_path / "train"
+    os.makedirs(d)
+    for i in range(4):
+        np.savez(d / f"s{i}.npz", **make_raw_scene(rng, 1))
+    with pytest.raises(ValueError, match="dst_dir == src_dir"):
+        convert_npz_dir(str(d), str(d))
+    dst = tmp_path / "sh"
+    convert_npz_dir(str(d), str(dst), scenes_per_shard=2)
+    with pytest.raises(ValueError, match="already holds"):
+        convert_npz_dir(str(d), str(dst), scenes_per_shard=4)

@@ -188,12 +188,18 @@ def test_shard_requires_scan_engine(engine_setup):
     eng.close()
 
 
-def test_submit_propagates_errors(engine_setup):
+def test_submit_propagates_errors(engine_setup, rng):
     model, params = engine_setup
-    eng = _mk_engine(model, params)
-    fut = eng.submit({"not": np.zeros(1)})  # malformed scene
+    eng = _mk_engine(model, params, max_wait_ms=200.0)
+    # malformed scene fails ITS OWN caller synchronously (validation runs
+    # before enqueue) — it must not poison a concurrent micro-batch
+    good = eng.submit(make_raw_scene(rng, 0, num_actors=5, num_lanes=6))
     with pytest.raises(Exception):
-        fut.result(timeout=120)
+        eng.submit({"not": np.zeros(1)}).result(timeout=120)
+    r = good.result(timeout=120)
+    assert np.isfinite(r["agent_world"]).all()
+    # a scene with no seq_id field reports -1, not its micro-batch slot
+    assert int(r["seq_id"]) == -1
     eng.close()
 
 
@@ -340,3 +346,23 @@ def test_serve_cli_batch_and_daemon(tmp_path, rng):
     for f in sorted(os.listdir(out_exp)):
         a, b = np.load(os.path.join(out_exp, f)), np.load(os.path.join(out_ref, f))
         np.testing.assert_allclose(a["agent_world"], b["agent_world"], atol=1e-4)
+
+
+def test_json_ready_handles_bf16():
+    """bf16 model outputs (the production dtype recipe) must serialize:
+    ml_dtypes scalars are not json-encodable without the float32 cast."""
+    import json
+
+    import jax.numpy as jnp
+
+    from trajsde_tpu.httpd import _json_ready
+
+    out = _json_ready(
+        {
+            "loc": np.asarray(jnp.ones((2, 3), jnp.bfloat16)),
+            "pi": np.float32([0.5, 0.5]),
+            "seq_id": np.int32(7),
+        }
+    )
+    s = json.loads(json.dumps(out))
+    assert s["seq_id"] == 7 and s["loc"][0][0] == 1.0

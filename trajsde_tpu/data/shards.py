@@ -95,8 +95,23 @@ def convert_npz_dir(
     The npz filename digits become each scene's ``seq_id`` (the identity
     the submission writer keys on), matching the loader's npz behavior.
     """
+    if os.path.abspath(dst_dir) == os.path.abspath(src_dir):
+        raise ValueError(
+            f"dst_dir == src_dir ({src_dir}): the loader reads BOTH formats "
+            "from one directory, so in-place conversion would duplicate "
+            "every scene"
+        )
     files = sorted(f for f in os.listdir(src_dir) if f.endswith(".npz"))
     os.makedirs(dst_dir, exist_ok=True)
+    stale = [f for f in os.listdir(dst_dir) if f.endswith(SHARD_SUFFIX)]
+    if stale:
+        # shard filenames encode (start, scenes_per_shard), so re-converting
+        # with different settings would leave old shards that silently
+        # duplicate scenes — refuse instead
+        raise ValueError(
+            f"{dst_dir} already holds {len(stale)} shard file(s); remove "
+            "them (or pick a fresh directory) before converting"
+        )
     out_paths = []
     for start in range(0, len(files), scenes_per_shard):
         chunk = files[start : start + scenes_per_shard]

@@ -36,6 +36,10 @@ def _json_ready(result):
     out = {}
     for k, v in result.items():
         a = np.asarray(v)
+        if a.dtype.kind not in "iub":
+            # bf16 (ml_dtypes) scalars are not json-serializable; any
+            # non-integer payload goes through float32 first
+            a = a.astype(np.float32)
         out[k] = a.tolist() if a.ndim else a.item()
     return out
 
@@ -79,9 +83,9 @@ def make_http_server(engine, host: str = "127.0.0.1", port: int = 0):
                 body = self.rfile.read(n)
                 ctype = (self.headers.get("Content-Type") or "").split(";")[0]
                 if ctype == "application/json":
-                    req = json.loads(body)
-                    with np.load(req["npz"], allow_pickle=False) as z:
-                        scene = {k: z[k] for k in z.files}
+                    from trajsde_tpu.data.loader import load_scene_npz
+
+                    scene = load_scene_npz(json.loads(body)["npz"])
                 else:  # raw .npz bytes
                     with np.load(io.BytesIO(body), allow_pickle=False) as z:
                         scene = {k: z[k] for k in z.files}

@@ -42,7 +42,7 @@ import queue
 import threading
 import time
 from concurrent.futures import Future
-from typing import Any, Dict, List, Optional, Sequence
+from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -249,6 +249,7 @@ class ServingEngine:
 
         self._q: "queue.Queue" = queue.Queue()
         self._closed = False
+        self._submit_lock = threading.Lock()
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
 
@@ -288,22 +289,32 @@ class ServingEngine:
         """Synchronous batched prediction (pads to the covering bucket)."""
         out: List[Dict] = []
         for i in range(0, len(raw_scenes), self.max_batch):
-            out.extend(self._run_batch(raw_scenes[i : i + self.max_batch]))
+            aligned = [self._align_scene(s)
+                       for s in raw_scenes[i : i + self.max_batch]]
+            out.extend(self._run_batch(aligned))
         return out
 
     def submit(self, raw_scene: Dict[str, np.ndarray]) -> Future:
-        """Enqueue one scene; the micro-batcher groups concurrent requests."""
-        if self._closed:
-            raise RuntimeError("engine is closed")
+        """Enqueue one scene; the micro-batcher groups concurrent requests.
+
+        Schema validation / grid alignment happens HERE, synchronously —
+        a malformed scene raises to its own caller instead of poisoning
+        whatever micro-batch it would have been grouped into.
+        """
+        aligned = self._align_scene(raw_scene)
         fut: Future = Future()
-        self._q.put((raw_scene, fut, time.perf_counter()))
+        with self._submit_lock:
+            if self._closed:
+                raise RuntimeError("engine is closed")
+            self._q.put((aligned, fut, time.perf_counter()))
         return fut
 
     def warmup(self, raw_scene: Dict[str, np.ndarray],
                buckets: Optional[Sequence[int]] = None) -> None:
         """Compile the executables for the given batch buckets upfront."""
+        aligned = self._align_scene(raw_scene)
         for b in buckets or self.buckets:
-            self._run_batch([raw_scene] * b, record=False)
+            self._run_batch([aligned] * b, record=False)
 
     def stats(self) -> Dict[str, float]:
         with self._lock:
@@ -324,9 +335,20 @@ class ServingEngine:
             }
 
     def close(self) -> None:
-        self._closed = True
+        with self._submit_lock:
+            self._closed = True
         self._q.put(None)
         self._worker.join(timeout=30)
+        # fail anything still enqueued (items that slipped in between the
+        # worker's sentinel exit and the flag flip) instead of leaving
+        # their futures to hang forever
+        while True:
+            try:
+                item = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if item is not None and not item[1].done():
+                item[1].set_exception(RuntimeError("engine closed"))
 
     # ---------------------------------------------------------------- internals
     def _next_counter(self) -> int:
@@ -334,16 +356,26 @@ class ServingEngine:
             self._counter += 1
             return self._counter
 
-    def _run_batch(self, raw_scenes: List[Dict], record: bool = True) -> List[Dict]:
-        n = len(raw_scenes)
+    def _align_scene(self, raw: Dict[str, np.ndarray]) -> Tuple[Dict, int]:
+        """Validate + grid-align one raw scene; returns ``(aligned, seq_id)``
+        with seq_id = -1 when the scene carries no identity (a slot index
+        would depend on micro-batch grouping, not on the scene)."""
+        sid = int(np.asarray(raw["seq_id"])) if "seq_id" in raw else -1
+        aligned = align_to_grid(
+            dict(raw, source=raw.get("source", np.int32(0))),
+            is_gtabs=self.is_gtabs,
+        )
+        return aligned, sid
+
+    def _run_batch(
+        self, aligned_scenes: List[Tuple[Dict, int]], record: bool = True
+    ) -> List[Dict]:
+        n = len(aligned_scenes)
         bucket = pick_bucket(n, self.buckets)
-        padded = list(raw_scenes) + [raw_scenes[-1]] * (bucket - n)
-        aligned = [
-            align_to_grid(dict(s, source=s.get("source", np.int32(0))),
-                          is_gtabs=self.is_gtabs)
-            for s in padded
-        ]
-        scene = pack_scenes(aligned, self.num_actors, self.num_lanes)
+        aligned = [a for a, _ in aligned_scenes]
+        # padding copies are already aligned — duplicate, don't re-align
+        padded = aligned + [aligned[-1]] * (bucket - n)
+        scene = pack_scenes(padded, self.num_actors, self.num_lanes)
         if bucket in self._meshes:
             scene = self._mesh_lib.shard_batch(scene, self._meshes[bucket])
         # everything random is derived host-side from (seed, counter): the
@@ -380,9 +412,7 @@ class ServingEngine:
                     "pi": post["pi_all"][i],
                     "agent_world": post["agent_world"][i],
                     "agent_pi": post["agent_pi"][i],
-                    "seq_id": np.asarray(scene.seq_id)[i]
-                    if scene.seq_id is not None
-                    else np.int32(i),
+                    "seq_id": np.int32(aligned_scenes[i][1]),
                 }
             )
         return results
@@ -420,4 +450,5 @@ class ServingEngine:
             with self._lock:
                 self._latencies.extend(done - s for s in starts)
             for f, r in zip(futs, results):
-                f.set_result(r)
+                if not f.done():  # caller may have cancelled the future
+                    f.set_result(r)
