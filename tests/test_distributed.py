@@ -342,3 +342,61 @@ def test_async_checkpoint_round_trip(tmp_path):
     kept = {e["step"] for e in mgr._board}
     assert kept == {2, 3}
     assert not os.path.exists(str(tmp_path / "step_00000001"))
+
+
+def test_checkpoint_resave_replaces_stale_weights(tmp_path):
+    """Rollback-resume: re-saving an existing step with different weights
+    must overwrite the directory and rebind the board entry — the old
+    behavior skipped the write and bound the new metric to stale weights."""
+    from trajsde_tpu.train.checkpoint import CheckpointManager
+
+    mgr = CheckpointManager(str(tmp_path), save_top_k=3, mode="min")
+    mk = lambda v: TrainState(
+        params={"w": jnp.full(3, v)}, opt_state={}, step=jnp.int32(5),
+        key=jax.random.key(0),
+    )
+    mgr.save(mk(1.0), metric=9.0, step=5)
+    mgr.save(mk(2.0), metric=1.0, step=5)  # same step, better run, new weights
+    assert [e for e in mgr._board if e["step"] == 5][0]["metric"] == 1.0
+    assert sum(e["step"] == 5 for e in mgr._board) == 1  # no duplicate entry
+    restored = mgr.restore(mk(0.0))
+    np.testing.assert_array_equal(np.asarray(restored.params["w"]), 2.0)
+
+
+def test_checkpoint_board_drops_missing_dirs(tmp_path):
+    """Entries whose directories vanished (interrupted prune) are dropped
+    at load so latest()/restore() never picks a deleted checkpoint."""
+    import shutil
+
+    from trajsde_tpu.train.checkpoint import CheckpointManager
+
+    mgr = CheckpointManager(str(tmp_path), save_top_k=3)
+    st = TrainState(
+        params={"w": jnp.ones(3)}, opt_state={}, step=jnp.int32(0),
+        key=jax.random.key(0),
+    )
+    mgr.save(st.replace(step=jnp.int32(1)), metric=2.0, step=1)
+    mgr.save(st.replace(step=jnp.int32(2)), metric=1.0, step=2)
+    shutil.rmtree(mgr._path(2))  # simulate interrupted prune
+    mgr2 = CheckpointManager(str(tmp_path), save_top_k=3)
+    assert [e["step"] for e in mgr2._board] == [1]
+    assert mgr2.latest()["step"] == 1
+
+
+def test_restore_params_rejects_shape_mismatch(tmp_path):
+    """--wonly warm start must refuse same-size-but-different-shape leaves
+    instead of silently reshaping a transposed kernel."""
+    import pytest as _pytest
+
+    from trajsde_tpu.train.checkpoint import CheckpointManager
+
+    mgr = CheckpointManager(str(tmp_path))
+    st = TrainState(
+        params={"w": jnp.ones((2, 6))}, opt_state={}, step=jnp.int32(0),
+        key=jax.random.key(0),
+    )
+    mgr.save(st, metric=1.0, step=1)
+    with _pytest.raises(ValueError, match="refusing to reinterpret"):
+        mgr.restore_params({"w": jnp.zeros((6, 2))}, mgr._path(1))
+    ok = mgr.restore_params({"w": jnp.zeros((2, 6))}, mgr._path(1))
+    np.testing.assert_array_equal(np.asarray(ok["w"]), 1.0)

@@ -34,3 +34,21 @@ def test_serving_forward_matches_contract(rng):
     np.testing.assert_array_equal(
         np.asarray(out["reg_mask"]), np.asarray(full["reg_mask"])
     )
+
+
+def test_kernel_engine_requires_sde_decoder(rng):
+    """A non-SDE decoder (MLPDecoder) has no latent rollout to fuse; the
+    kernel path must refuse with a clear message, not a params KeyError."""
+    import pytest
+
+    from tests.test_models_forward import make_baseline
+
+    model = make_baseline()
+    scene = make_scene_batch(
+        np.random.default_rng(0), batch_size=1, num_actors=4, num_lanes=6
+    )
+    params = jax.jit(model.init)(
+        {"params": jax.random.key(0), "sde": jax.random.key(1)}, scene
+    )["params"]
+    with pytest.raises(NotImplementedError, match="SDEDecoder"):
+        make_serving_fn(model, params, interpret=True)

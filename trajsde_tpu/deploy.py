@@ -93,7 +93,7 @@ def export_serving(
     for b in buckets:
         specs = [
             jax.ShapeDtypeStruct((b,) + tuple(np.shape(l)[1:]),
-                                 jnp.asarray(l).dtype)
+                                 np.asarray(l).dtype)
             for l in leaves
         ]
         exp = jax_export.export(jax.jit(pipeline), **kw)(specs, key_spec)
@@ -179,6 +179,12 @@ class ExportedServing:
                     f"leaf shape {np.shape(l)} != exported {tuple(s['shape'])} "
                     "(batch dim aside) — repack with the manifest's "
                     f"num_actors={self.num_actors}/num_lanes={self.num_lanes}"
+                )
+            if np.asarray(l).dtype != np.dtype(s["dtype"]):
+                raise ValueError(
+                    f"leaf dtype {np.asarray(l).dtype} != exported "
+                    f"{s['dtype']} — repack with the manifest schema (plain "
+                    "python floats default to float64; cast before calling)"
                 )
         kd = key
         if jax.dtypes.issubdtype(getattr(key, "dtype", None), jax.dtypes.prng_key):

@@ -147,12 +147,20 @@ class ServingEngine:
         seed: int = 0,
     ) -> None:
         if engine == "auto":
-            # sharded serving partitions the jitted scan forward with GSPMD;
-            # the Pallas kernel is an opaque custom call XLA cannot split
+            from trajsde_tpu.models.decoders import SDEDecoder
+
+            # sharded serving partitions the jitted scan forward with GSPMD
+            # (the Pallas kernel is an opaque custom call XLA cannot split);
+            # non-SDE decoders have no latent rollout for the kernel to fuse
             engine = (
-                "scan"
-                if shard
-                else ("kernel" if jax.default_backend() == "tpu" else "scan")
+                "kernel"
+                if (
+                    not shard
+                    and jax.default_backend() == "tpu"
+                    and isinstance(model.decoder, SDEDecoder)
+                    and getattr(model.decoder, "sde_layers", 2) == 2
+                )
+                else "scan"
             )
         if engine not in ("kernel", "scan", "exported"):
             raise ValueError(f"unknown serving engine {engine!r}")

@@ -8,7 +8,6 @@ encoder/aggregator/heads stay on the standard XLA path.
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Dict
 
 import jax
@@ -38,7 +37,17 @@ def make_serving_fn(
     ``increments='gaussian'`` for exact-path-law sampling (the XLA scan is
     the better engine for that regime).
     """
+    from trajsde_tpu.models.decoders import SDEDecoder
+
     decoder = model.decoder
+    if not isinstance(decoder, SDEDecoder):
+        # MLPDecoder (and any non-SDE head) has no latent rollout to fuse;
+        # without this check the failure is a cryptic KeyError on
+        # 'sde_rollout' params deep in rollout_params_from_linen
+        raise NotImplementedError(
+            f"the Pallas serving engine requires SDEDecoder (model has "
+            f"{type(decoder).__name__}); use the scan engine"
+        )
     if getattr(decoder, "sde_layers", 2) != 2:
         # rollout_params_from_linen reads only the 2-layer topology; deeper
         # nets would silently serve a TRUNCATED MLP (same guard as

@@ -37,6 +37,13 @@ class CheckpointManager:
         self._ckptr = ocp.StandardCheckpointer()
         self._board_path = os.path.join(self.directory, "leaderboard.json")
         self._board = self._load_board()
+        # an interrupted _prune (rmtree before the board rewrite) can leave
+        # entries for deleted directories; drop them so latest()/restore()
+        # never picks a checkpoint that is no longer on disk
+        live = [e for e in self._board if os.path.exists(e["path"])]
+        if len(live) != len(self._board):
+            self._board = live
+            self._write_board()
         # async saves defer their leaderboard entry here until the orbax
         # write has landed: a crash mid-write can never leave the board
         # pointing at an incomplete directory, and _prune can never rmtree
@@ -61,30 +68,29 @@ class CheckpointManager:
     ) -> None:
         path = self._path(step)
         entry = {"step": step, "metric": metric, "path": path}
-        # a directory the board never recorded is an ORPHAN from a crashed
-        # async write (the entry is only appended once the write lands):
-        # its contents are unaccounted, so replace them — skipping the
-        # write here would bind this save's metric to stale weights
-        known = any(e["path"] == path for e in self._board) or (
-            self._pending is not None and self._pending["path"] == path
-        )
-        if os.path.exists(path) and not known:
+        # any in-flight async write must land before a new one starts (and
+        # before pruning may delete its directory)
+        self._flush_pending()
+        if os.path.exists(path):
+            # re-saving an existing step: either an ORPHAN from a crashed
+            # async write (the board entry only lands once the write does)
+            # or a rollback-resume re-reaching this step with DIFFERENT
+            # weights — in both cases the on-disk state is stale, so
+            # replace the directory and any board entry bound to it.
+            # Skipping the write would bind this save's metric to weights
+            # that never achieved it.
             import shutil
 
-            self._ckptr.wait_until_finished()
             shutil.rmtree(path, ignore_errors=True)
-        if not os.path.exists(path):
-            # any in-flight async write must land before a new one starts
-            # (and before pruning may delete its directory)
-            self._flush_pending()
-            self._ckptr.save(path, state)
-            if wait or not self.async_save:
-                self._ckptr.wait_until_finished()
-            else:
-                self._pending = entry  # board entry lands with the write
-                return
+            if any(e["path"] == path for e in self._board):
+                self._board = [e for e in self._board if e["path"] != path]
+                self._write_board()
+        self._ckptr.save(path, state)
+        if wait or not self.async_save:
+            self._ckptr.wait_until_finished()
         else:
-            self._flush_pending()
+            self._pending = entry  # board entry lands with the write
+            return
         self._board.append(entry)
         self._prune()
         self._write_board()
@@ -141,8 +147,21 @@ class CheckpointManager:
         """Weights-only warm start (``--wonly`` analog, ``train.py:62-64``)."""
         self._flush_pending()
         restored = self._ckptr.restore(path)
-        return jax.tree.map(
-            lambda t, r: jax.numpy.asarray(r, t.dtype).reshape(t.shape),
+
+        def _fit(kpath, t, r):
+            r = jax.numpy.asarray(r)
+            if tuple(r.shape) != tuple(t.shape):
+                name = "/".join(str(getattr(k, "key", k)) for k in kpath)
+                raise ValueError(
+                    f"checkpoint leaf {name!r} has shape {tuple(r.shape)} but "
+                    f"the model expects {tuple(t.shape)} — refusing to "
+                    "reinterpret silently (same-size shape mismatches are "
+                    "almost always a config/architecture mismatch)"
+                )
+            return r.astype(t.dtype)
+
+        return jax.tree_util.tree_map_with_path(
+            _fit,
             target_params,
             restored["params"] if "params" in restored else restored,
         )

@@ -256,18 +256,16 @@ def build_rules(cfg) -> RuleSet:
     enc_name = canon.get(enc_name, enc_name)
     agg_name = canon.get(agg_name, agg_name)
     dec_name = canon.get(dec_name, dec_name)
-    try:
-        _ENCODERS[enc_name](m, enc_kw)
-    except KeyError:
+    if enc_name not in _ENCODERS:
         raise ValueError(f"no conversion rules for encoder {enc_name!r}")
+    _ENCODERS[enc_name](m, enc_kw)
     if agg_name != "GlobalInteractor":
         raise ValueError(f"no conversion rules for aggregator {agg_name!r}")
     _aggregator(m, ("aggregator",), "aggregator",
                 int(agg_kw.get("num_global_layers", agg_kw.get("num_layers", 3))))
-    try:
-        _DECODERS[dec_name](m, dec_kw)
-    except KeyError:
+    if dec_name not in _DECODERS:
         raise ValueError(f"no conversion rules for decoder {dec_name!r}")
+    _DECODERS[dec_name](m, dec_kw)
     return m
 
 
@@ -320,7 +318,5 @@ def convert_state_dict(state_dict: Dict[str, Any], cfg, template_params):
         else:
             unused.append(k)
 
-    params = jax.tree_util.tree_unflatten(
-        jax.tree_util.tree_structure(template_params), out_leaves
-    )
+    params = jax.tree_util.tree_unflatten(treedef, out_leaves)
     return params, {"skipped": sorted(skipped), "unused": sorted(unused)}
