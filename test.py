@@ -108,7 +108,10 @@ def main() -> None:
     state = state.replace(params=params)
 
     ood = args.ood
-    only_agent = args.only_agent
+    # the reference carries only_agent as a MODEL kwarg
+    # (model_base_mix.py:133-137); honor the config value so a reference
+    # YAML with `only_agent: true` drops in unchanged (CLI flag also works)
+    only_agent = args.only_agent or bool(cfg.model_kwargs.get("only_agent", False))
     # delta-target mode: metrics must be computed on cumsummed (absolute)
     # trajectories (``model_base_mix.py:143-145``)
     is_gtabs = (cfg.datamodule.get("test_dataset_args") or {}).get("is_gtabs", True)
@@ -153,6 +156,10 @@ def main() -> None:
         else:
             kwargs = {"ood": True} if ood else {}
             out = model.apply({"params": params}, scene, rngs={"sde": key}, **kwargs)
+        # full-actor diffusion stds for --viz-ood, captured BEFORE any
+        # only_agent filtering: the viz consumer indexes them with the
+        # UNFILTERED scene's actor mask
+        stds_full = out.get("stds")
         if only_agent:
             from trajsde_tpu.data.transforms import (
                 leave_only_agent,
@@ -173,7 +180,7 @@ def main() -> None:
         if "stds" in out:
             agent_std = gather_agent(out["stds"], scene.agent_index, axis=1)
             result["agent_std"] = (agent_std.sum(), agent_std.shape[0])
-            result["stds_full"] = out["stds"]
+            result["stds_full"] = stds_full
         if args.submit:
             # world-frame focal-agent projection — the SAME jitted math the
             # serving engine ships (``server.py:make_postprocess``), incl.

@@ -73,10 +73,12 @@ def test_train_then_test_cli(tmp_path, rng):
     results = json.loads(r.stdout.strip().splitlines()[-1])
     assert "ADE_T" in results and np.isfinite(results["ADE_T"])
 
-    # OOD scoring path end-to-end
+    # OOD scoring path end-to-end (--only-agent exercises the
+    # stds_full/viz interaction: viz must get FULL-actor stds even when
+    # metrics are agent-filtered)
     r = subprocess.run(
         [sys.executable, "test.py", "-c", cfg, "--ckpt", ckpt, "--ood",
-         "--viz-ood", "--viz-limit", "1",
+         "--viz-ood", "--viz-limit", "1", "--only-agent",
          "--num-actors", "6", "--num-lanes", "8"],
         env=ENV, capture_output=True, text=True, timeout=1200,
     )

@@ -116,17 +116,26 @@ def main() -> None:
         print(f"multihost: {n_proc} processes, {len(jax.devices())} devices")
 
     cfg = load_config(args.config)
-    if cfg.model_kwargs.get("ts_drop") is True:
+    ts_drop_cfg = cfg.model_kwargs.get("ts_drop")
+    if ts_drop_cfg not in (None, False) and (
+        ts_drop_cfg is True or not 0.0 <= float(ts_drop_cfg) < 1.0
+    ):
         # the reference's `rand > (1 - ts_drop)` has the same degeneracy:
-        # a boolean true is rate 1.0, which deletes the entire history
+        # rate 1.0 (or boolean true) deletes the entire history
         raise SystemExit(
             "config error: ts_drop must be a drop RATE in [0, 1) "
-            "(e.g. 0.1), not 'true' — rate 1.0 would zero every "
-            "historical step"
+            f"(e.g. 0.1), got {ts_drop_cfg!r} — rate 1.0 would zero "
+            "every historical step"
         )
+    # multi-process runs: only process 0 owns run-dir side effects (source
+    # snapshot, metrics.jsonl, checkpoint/leaderboard writes) — concurrent
+    # writers race on the same files (Lightning gates DDP logging the
+    # same way); restores still happen on every process
+    primary = jax.process_index() == 0
     run_dir = os.path.join(args.logdir, args.name)
     os.makedirs(run_dir, exist_ok=True)
-    snapshot_sources(run_dir)
+    if primary:
+        snapshot_sources(run_dir)
 
     dm_kwargs = dict(cfg.datamodule)
     # explicit CLI flags override the config (conventional precedence)
@@ -138,7 +147,7 @@ def main() -> None:
     steps_per_epoch = max(1, len(datamodule.train_loader()))
 
     model = build_model(cfg)
-    losses = [(n, w, fn) for n, w, fn in build_losses(cfg)]
+    losses = build_losses(cfg)
     metrics = make_metrics(
         [n for n, _ in cfg.metric_specs],
         [dict(a) for _, a in cfg.metric_specs],
@@ -178,16 +187,23 @@ def main() -> None:
         optimizer=optimizer,
         losses=losses,
         metrics=metrics,
-        logger=ExperimentLogger(run_dir),
-        checkpointer=checkpointer,
+        logger=ExperimentLogger(run_dir) if primary else None,
+        checkpointer=checkpointer if primary else None,
         monitor=args.monitor,
         ts_drop_rate=float(ts_drop) if ts_drop else 0.0,
         is_gtabs=(cfg.datamodule.get("val_dataset_args") or {}).get("is_gtabs", True),
-        profiler=ProfilerHook(run_dir, args.profile) if args.profile else None,
+        profiler=(
+            ProfilerHook(run_dir, args.profile)
+            if (args.profile is not None and primary)
+            else None
+        ),
         log_every=max(1, args.log_every),
         accum_steps=max(1, args.accum),
     )
-    max_epochs = args.epochs or cfg.training.get("max_epochs", 1)
+    max_epochs = (
+        args.epochs if args.epochs is not None
+        else cfg.training.get("max_epochs", 1)
+    )
 
     def train_batches():
         if args.accum > 1:

@@ -91,6 +91,12 @@ def build_model(cfg: ExperimentConfig):
         aggregator=aggregator,
         decoder=decoder,
         rotate=cfg.model_kwargs.get("rotate", True),
+        # the remaining model_specific kwargs are consumed elsewhere:
+        # historical_steps/future_steps/num_modes via YAML anchors in the
+        # component kwargs, is_gtabs by the datamodule/test args, ref_time
+        # by test.py/serve.py, only_agent by test.py (reference
+        # model_base_mix.py:133-137), and `parallel` is n/a (this design
+        # is always dense time-parallel)
     )
 
 

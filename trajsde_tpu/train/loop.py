@@ -379,13 +379,16 @@ class Trainer:
                 n_steps = 0
                 scenes = 0
                 for scene in device_prefetch(self._grouped(train_batches())):
+                    if self.profiler is not None:
+                        # BEFORE the dispatch, with the step number this
+                        # batch will carry — so `--profile N` traces
+                        # steps N..N+4, not N+1..N+5
+                        self.profiler.on_step(step + 1)
                     state, logs = self.train_step(state, scene)
                     step += 1
                     n_steps += 1
                     # with accumulation the leading axis is the micro axis
                     scenes += int(np.prod(scene.x.shape[: 1 + (self.accum_steps > 1)]))
-                    if self.profiler is not None:
-                        self.profiler.on_step(step)
                     if self.logger is not None and step % self.log_every == 0:
                         self.logger.log_scalars(step, logs)
                     if self._preempted:

@@ -113,7 +113,9 @@ def viz_ood(scene, stds, b: int, out_path: str) -> str:
     _draw_base(ax, s)
     std = np.asarray(stds[b])
     th = s["th"]
-    valid = s["actor_valid"]
+    # actors unobserved at the reference step hold zero placeholders —
+    # without the padding mask they'd scatter as a fake cluster at (0,0)
+    valid = s["actor_valid"] & ~s["padding"][:, th - 1]
     pos = s["positions"][:, th - 1]
     sc = ax.scatter(
         pos[valid, 0], pos[valid, 1], c=std[valid], cmap="viridis", s=40, zorder=4
