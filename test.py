@@ -167,9 +167,11 @@ def main() -> None:
             )
 
             if "stds" in out:
-                from trajsde_tpu.data.transforms import _take
+                from trajsde_tpu.data.transforms import take_per_scene
 
-                out["stds"] = _take(out["stds"], scene.agent_index, axis=1)
+                out["stds"] = take_per_scene(
+                    out["stds"], scene.agent_index, axis=1
+                )
             out = leave_only_agent_output(out, scene.agent_index)
             scene = leave_only_agent(scene)
         result = {}

@@ -190,4 +190,5 @@ def test_metric_accumulates_device_arrays():
     assert isinstance(m._sum, jax.Array)  # no per-batch host pull
     assert m.compute() == pytest.approx(1.0)
     m.reset()
-    assert m.compute() == 0.0
+    # empty accumulator reads NaN, not a perfect-looking 0.0
+    assert np.isnan(m.compute())

@@ -31,7 +31,13 @@ def ts_drop(scene: SceneBatch, rate: float, key: jax.Array) -> SceneBatch:
     return dataclasses.replace(scene, x=x, padding_mask=padding)
 
 
-def _take(arr, idx, axis=1):
+def take_per_scene(arr, idx, axis=1):
+    """Gather one index per scene along ``axis`` (keeps a size-1 axis).
+
+    The shared per-scene gather used by the only-agent filters here and
+    by ``test.py``'s stds filtering; ``train/loop.py::gather_agent`` is
+    the squeezing variant of the same broadcast ``take_along_axis``.
+    """
     if arr is None:
         return None
     shape = [1] * arr.ndim
@@ -72,3 +78,7 @@ def leave_only_agent(scene: SceneBatch) -> SceneBatch:
         agent_index=zeros,
         av_index=zeros,
     )
+
+
+# backwards-compatible private alias
+_take = take_per_scene

@@ -57,6 +57,12 @@ def laplace_nll_loss(scene_y: jax.Array, output: Dict[str, jax.Array]) -> jax.Ar
     (``losses/laplace_nll_loss.py:18-47``; present in the reference but
     referenced by no shipped config)."""
     loc_scale, reg_mask = output["loc"], output["reg_mask"]
+    if loc_scale.shape[-1] < 4:
+        raise ValueError(
+            "LaplaceNLLLoss needs a 4-channel head (2 loc + 2 scale); the "
+            f"decoder emits {loc_scale.shape[-1]} channels — use a decoder "
+            "with min_scale/scale output or a different loss"
+        )
     loc, scale = loc_scale[..., :2], loc_scale[..., 2:]
     l2, best = _best_mode_l2(loc, scene_y, reg_mask)
     bidx = best[:, None, :, None, None]

@@ -72,8 +72,10 @@ def make_mesh(
 def make_mesh_for_batch(batch_size: int, n_model: int = 1, devices=None) -> Mesh:
     """Data-parallel mesh using the largest device count dividing the batch.
 
-    Keeps small debug batches runnable on large hosts (unused devices hold
-    replicas only).
+    Keeps small debug batches runnable on large hosts: surplus devices are
+    left OUT of the mesh and idle (single-process only — a mesh must span
+    every process's devices in a multi-process run, so a non-divisible
+    batch there is a config error, reported loudly).
     """
     devices = list(devices if devices is not None else jax.devices())
     n_avail = max(1, len(devices) // n_model)
@@ -81,6 +83,13 @@ def make_mesh_for_batch(batch_size: int, n_model: int = 1, devices=None) -> Mesh
     # under-use devices: batch 12 on 8 devices → gcd 4, divisor 6)
     n_data = max(d for d in range(1, min(batch_size, n_avail) + 1)
                  if batch_size % d == 0)
+    if jax.process_count() > 1 and n_data * n_model < len(devices):
+        raise ValueError(
+            f"batch size {batch_size} uses only {n_data * n_model} of "
+            f"{len(devices)} global devices; a multi-process mesh must "
+            "cover every process's devices — pick a batch size divisible "
+            f"by {len(devices) // n_model} (or reduce processes)"
+        )
     return make_mesh(n_data=n_data, n_model=n_model, devices=devices[: n_data * n_model])
 
 
@@ -106,7 +115,10 @@ def shard_batch(batch, mesh: Mesh, batch_axis: int = 0):
     ``data``.  A ragged batch (scene axis not divisible by the data axis)
     falls back to replication — correct, just not parallel.
     """
-    leaves = [x for x in jax.tree.leaves(batch) if hasattr(x, "shape") and x.ndim]
+    leaves = [
+        x for x in jax.tree.leaves(batch)
+        if hasattr(x, "shape") and x.ndim > batch_axis
+    ]
     n_data = mesh.shape[DATA_AXIS]
     divisible = all(x.shape[batch_axis] % n_data == 0 for x in leaves)
     if not divisible:

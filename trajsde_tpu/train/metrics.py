@@ -167,7 +167,11 @@ class TransferMetric:
         self.accumulate(self.update_fn(pred, target, reg_mask, source))
 
     def compute(self) -> float:
-        return float(self._sum) / max(float(self._count), 1.0)
+        # an empty accumulator (e.g. a per-source variant on a split with
+        # no scenes from that domain) is NaN, not a perfect-looking 0.0
+        if float(self._count) == 0.0:
+            return float("nan")
+        return float(self._sum) / float(self._count)
 
 
 def make_metrics(names, metric_args) -> list:
