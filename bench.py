@@ -71,15 +71,19 @@ def main() -> None:
     # by an actual value fetch (see CLAUDE.md "TPU microbenchmarks lie").
     import jax.numpy as jnp
 
-    @jax.jit
-    def run_steps(state, scene):
-        def body(i, st):
-            st, _ = step(st, scene)
-            return st
-        st = jax.lax.fori_loop(0, ITERS, body, state)
-        return st, jax.tree_util.tree_reduce(
-            lambda a, b: a + jnp.sum(b), st.params, 0.0
-        )
+    def make_runner(n_iters):
+        @jax.jit
+        def run(state, scene):
+            def body(i, st):
+                st, _ = step(st, scene)
+                return st
+            st = jax.lax.fori_loop(0, n_iters, body, state)
+            return st, jax.tree_util.tree_reduce(
+                lambda a, b: a + jnp.sum(b), st.params, 0.0
+            )
+        return run
+
+    run_steps = make_runner(ITERS)
 
     # analytic FLOP count of ONE train step from its compiled executable
     # (XLA cost analysis does not multiply loop trip counts, so the
@@ -103,7 +107,8 @@ def main() -> None:
     )
 
     state, checksum = run_steps(state, scene)  # warmup (executable cached)
-    assert np.isfinite(float(checksum))
+    checksum = float(checksum)  # fetch OUTSIDE assert: -O must not skip it
+    assert np.isfinite(checksum)
     t0 = time.perf_counter()
     state, checksum = run_steps(state, scene)
     checksum = float(checksum)  # value fetch closes the timing
@@ -147,20 +152,15 @@ def main() -> None:
         prod_scene = jax.device_put(
             _scene(batch_size=PROD_BATCH, num_actors=PROD_ACTORS, num_lanes=PROD_LANES)
         )
-        prod_state = create_train_state(model, optimizer, prod_scene)
-
-        @jax.jit
-        def run_prod(state, scene):
-            def body(i, st):
-                st, _ = step(st, scene)
-                return st
-            st = jax.lax.fori_loop(0, PROD_ITERS, body, state)
-            return st, jax.tree_util.tree_reduce(
-                lambda a, b: a + jnp.sum(b), st.params, 0.0
-            )
+        # params/opt state are shape-independent: reuse the bench state
+        # instead of re-jitting model.init at the production shape (each
+        # new executable costs 40-260 s through the remote compile helper)
+        prod_state = state
+        run_prod = make_runner(PROD_ITERS)
 
         prod_state, c = run_prod(prod_state, prod_scene)
-        assert np.isfinite(float(c))
+        c = float(c)
+        assert np.isfinite(c)
         t0 = time.perf_counter()
         _, c = run_prod(prod_state, prod_scene)
         c = float(c)
@@ -190,7 +190,7 @@ def main() -> None:
             return jax.lax.fori_loop(0, ITERS, body, 0.0)
 
         v = float(run_serve(scene, jax.random.key(7)))  # warmup
-        assert np.isfinite(v)
+        assert np.isfinite(v)  # v already fetched above — safe under -O
         t0 = time.perf_counter()
         v = float(run_serve(scene, jax.random.key(8)))
         sdt = time.perf_counter() - t0

@@ -66,7 +66,15 @@ def agent_slices(
     computation (``model_base_mix.py:143-145``).  Deviation noted for the
     record: the reference applies the conversion only in ``test_step`` and
     evaluates *validation* metrics in delta space — here both eval paths
-    convert, so the monitored metric is always in meters.
+    convert, so the monitored metric is always cumulative-absolute.
+
+    Reference quirk preserved (do not "fix"): like ``test_step:144-145``,
+    the cumsum does NOT undo the nuScenes ÷5 grid scaling, so in delta
+    mode nuScenes rows are measured in grid units (meters/5) while
+    Argoverse rows are meters — metric parity with the reference over
+    meter-true nuScenes numbers.  The submission/serving world projection
+    (``server.py:make_postprocess``) IS meter-true; only the metric path
+    mirrors the reference.
     """
     pred = gather_agent(output["loc"][..., :2], scene.agent_index, axis=2)
     target = gather_agent(output["y"], scene.agent_index, axis=1)
@@ -400,6 +408,10 @@ class Trainer:
                         if self.logger is not None:
                             self.logger.log_scalars(step, {"preempted": 1.0})
                         return state
+                # train-only wall BEFORE the val pass: perf/steps_per_s
+                # must not absorb evaluation time (epoch_time_s stays
+                # inclusive)
+                train_dt = time.time() - t0
                 results = self.evaluate(state, val_batches)
                 dt = time.time() - t0
                 if self.logger is not None:
@@ -409,8 +421,8 @@ class Trainer:
                         | {
                             "epoch_time_s": dt,
                             "epoch": epoch,
-                            "perf/steps_per_s": n_steps / max(dt, 1e-9),
-                            "perf/scenes_per_s": scenes / max(dt, 1e-9),
+                            "perf/steps_per_s": n_steps / max(train_dt, 1e-9),
+                            "perf/scenes_per_s": scenes / max(train_dt, 1e-9),
                             # distinct compiled train-step executables so
                             # far — bucketing/accumulation shape growth is
                             # observable, not silent (SURVEY §7 hard parts).
