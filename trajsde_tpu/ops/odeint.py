@@ -65,5 +65,11 @@ def get_timesteps(dataset: str) -> jax.Array:
         ref_step, past_t, future_t, res = 4, 2, 6, 2
     else:
         raise ValueError(dataset)
+    # Reference quirk reproduced deliberately (do not "fix"): the +1/res
+    # shift matches Argoverse (ref step 19 lands on 0 naturally) but NOT
+    # nuScenes, where index 3 is already 0.0 and pinning index 4 yields a
+    # duplicated 0.0 (a zero-length integration segment) and a 1.0 s jump
+    # to the next knot — ``ode_utils.py:207-208`` computes exactly this
+    # grid, and the trained reference weights bake it in.
     ts = jnp.arange(0, past_t + future_t, 1.0 / res) - past_t + 1.0 / res
     return ts.at[ref_step].set(0.0)

@@ -202,14 +202,18 @@ def sdeint_adaptive(
         tm = 0.5 * (t0 + t1)
 
         f0, g0 = f(t0, y), g(t0, y)
+        # evaluate each Brownian endpoint ONCE and form increments by
+        # subtraction (increment() is defined as exactly that): three
+        # Lévy-bridge descents instead of six per step
+        w0, wm, w1 = tree(t0), tree(tm), tree(t1)
         # full step and first half step share (f0, g0) — Euler evaluates
         # at the segment start
-        y_full = y + f0 * (t1 - t0) + g0 * tree.increment(t0, t1)
-        y_mid = y + f0 * (tm - t0) + g0 * tree.increment(t0, tm)
+        y_full = y + f0 * (t1 - t0) + g0 * (w1 - w0)
+        y_mid = y + f0 * (tm - t0) + g0 * (wm - w0)
         y_half = (
             y_mid
             + f(tm, y_mid) * (t1 - tm)
-            + g(tm, y_mid) * tree.increment(tm, t1)
+            + g(tm, y_mid) * (w1 - wm)
         )
 
         err = jax.lax.stop_gradient(error_rms(y_full, y_half))

@@ -22,19 +22,10 @@ ALIASES = {
 }
 
 
-def register(name: str = None):
-    def deco(fn):
-        _REGISTRY[name or fn.__name__] = fn
-        return fn
-
-    return deco
-
-
 def resolve(name: str) -> Callable:
     name = ALIASES.get(name, name)
     if name not in _REGISTRY:
         _populate()
-    name = ALIASES.get(name, name)
     if name not in _REGISTRY:
         raise KeyError(
             f"unknown component {name!r}; known: {sorted(_REGISTRY)}"

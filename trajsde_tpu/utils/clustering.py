@@ -23,6 +23,9 @@ def kmeans_endpoints(
     """K-means over trajectory endpoints: ``trajs [S, T, 2]`` → (assignment
     [S], centers [k, 2]).  Lloyd iterations with empty-cluster carry-over."""
     pts = trajs[:, -1, :]
+    # fewer samples than clusters: degrade to S clusters (choice with
+    # replace=False requires k <= S; shapes are static so this is free)
+    k = min(k, pts.shape[0])
     init_idx = jax.random.choice(key, pts.shape[0], (k,), replace=False)
     centers0 = pts[init_idx]
 
