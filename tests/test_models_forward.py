@@ -242,6 +242,19 @@ def test_unsupported_encoder_knobs_raise(rng):
         LocalEncoderSDESep(
             historical_steps=TH, embed_dim=D, num_heads=8, input_diff=False
         ).init(rngs, scene)
+    # run_backwards=false is a dead branch in the reference (its forward
+    # iteration feeds descending ts into sdeint_dual's check_contract)
+    with pytest.raises(NotImplementedError, match="run_backwards"):
+        LocalEncoderSDESep(
+            historical_steps=TH, embed_dim=D, num_heads=8, run_backwards=False
+        ).init(rngs, scene)
+    # minimum_step below the observation spacing would need multi-substep
+    # segments (torchsde clipped stepping); only single-step is built
+    with pytest.raises(NotImplementedError, match="minimum_step"):
+        LocalEncoderSDESep(
+            historical_steps=TH, embed_dim=D, num_heads=8,
+            max_past_t=2.0, minimum_step=2.0 / (TH - 1) / 2,
+        ).init(rngs, scene)
 
 
 def test_serving_fn_refuses_deep_sde_decoder(rng):

@@ -149,6 +149,25 @@ class LocalEncoderSDESep(nn.Module):
                 "substitution (only the baseline grid encoder branches "
                 "on it, enc_hivt_nusargo_grid.py:152)"
             )
+        if not self.run_backwards:
+            raise NotImplementedError(
+                "run_backwards=false is a DEAD branch in the reference: its "
+                "forward iteration passes DESCENDING ts ([2.0, 1.9]) into "
+                "sdeint_dual, which check_contract rejects ('ts must be "
+                "strictly increasing', sdeint.py:877) — the branch crashes "
+                "on the second step; only the backwards ODE-RNN is "
+                "implemented here"
+            )
+        seg = self.max_past_t / max(1, self.historical_steps - 1)
+        if self.minimum_step < seg - 1e-9:
+            raise NotImplementedError(
+                f"minimum_step ({self.minimum_step}) below the observation "
+                f"spacing ({seg:g}) would take multiple Euler substeps per "
+                "segment (torchsde clipped stepping); this encoder "
+                "integrates exactly one clipped step per segment — the "
+                "shipped reference configs use minimum_step == spacing "
+                "(0.1), where both are identical"
+            )
         aa_cls = nn.remat(AAEncoder, static_argnums=(7,)) if self.remat else AAEncoder
         al_cls = nn.remat(ALEncoder, static_argnums=(6,)) if self.remat else ALEncoder
         self.aa_encoder = aa_cls(
