@@ -63,10 +63,13 @@ def main() -> None:
                     help="serve from an --export artifact: no config, "
                          "checkpoint, or model build needed")
     args = ap.parse_args()
-    if not args.daemon and not args.input_dir and args.http is None:
-        ap.error("one of --input-dir, --daemon, or --http is required")
-    if args.output_dir is None and args.http is None:
-        ap.error("--output-dir is required outside --http mode")
+    modes = [args.daemon, args.input_dir is not None, args.http is not None]
+    if sum(map(bool, modes)) > 1:
+        ap.error("--input-dir, --daemon, and --http are mutually exclusive")
+    if not any(modes) and args.export is None:
+        ap.error("one of --input-dir, --daemon, --http, or --export is required")
+    if args.output_dir is None and args.http is None and any(modes[:2]):
+        ap.error("--output-dir is required in batch/daemon modes")
     if args.from_export is None and (args.config is None or args.ckpt is None):
         ap.error("-c/--config and --ckpt are required unless --from-export")
     if args.from_export and args.export:
@@ -85,8 +88,7 @@ def main() -> None:
     from trajsde_tpu.config import build_model, load_config
     from trajsde_tpu.data.loader import load_scene_npz
     from trajsde_tpu.data.pack import pack_scenes
-    from trajsde_tpu.data.grid import align_to_grid
-    from trajsde_tpu.server import ServingEngine
+    from trajsde_tpu.server import ServingEngine, align_scene
     from trajsde_tpu.train.checkpoint import CheckpointManager
 
     def load_raw(path: str) -> dict:
@@ -105,7 +107,7 @@ def main() -> None:
             raise SystemExit("daemon mode: no request on stdin")
         first_req = json.loads(first_line)
         example_raw = load_raw(first_req["npz"])
-    else:  # --http: a synthetic scene fixes the init-template shapes
+    else:  # --http / --export-only: a synthetic scene fixes the template shapes
         from trajsde_tpu.data.synthetic import make_raw_scene
 
         example_raw = make_raw_scene(
@@ -127,12 +129,10 @@ def main() -> None:
 
         model = build_model(cfg)
 
-        # params template from one example scene (weights-only restore)
+        # params template from one example scene (weights-only restore) —
+        # through the SAME alignment path the engine feeds the model
         example = pack_scenes(
-            [align_to_grid(dict(example_raw,
-                                source=example_raw.get("source", 0)),
-                           is_gtabs=is_gtabs)],
-            num_actors, num_lanes,
+            [align_scene(example_raw, is_gtabs)[0]], num_actors, num_lanes
         )
         template = jax.jit(model.init)(
             {"params": jax.random.key(0), "sde": jax.random.key(1)}, example
@@ -200,32 +200,74 @@ def main() -> None:
         return out_path
 
     if args.daemon:
-        reqs = [first_req]
+        import queue as _q
+        import threading
 
-        def lines():
-            yield from reqs
-            for line in sys.stdin:
-                if line.strip():
-                    yield json.loads(line)
+        # responses are flushed by a dedicated writer thread the moment
+        # each future lands — the request loop must NOT gate flushing on
+        # the next stdin line (a request/response client would deadlock:
+        # it waits for the reply, the server waits for the next line).
+        # Output stems include the request id: daemon requests may name
+        # same-basename scenes from different directories.
+        out_q: "_q.Queue" = _q.Queue()
 
-        pending = []
-        for req in lines():
-            fut = engine.submit(load_raw(req["npz"]))
-            pending.append((req["id"], req["npz"], fut))
-            # answer in submission order as results land
-            while pending and pending[0][2].done():
-                rid, path, f = pending.pop(0)
+        def writer():
+            while True:
+                item = out_q.get()
+                if item is None:
+                    return
+                rid, path, fut = item
                 stem = os.path.splitext(os.path.basename(path))[0]
-                print(json.dumps({"id": rid, "out": write(f.result(), stem)}),
-                      flush=True)
-        for rid, path, f in pending:
-            stem = os.path.splitext(os.path.basename(path))[0]
-            print(json.dumps({"id": rid, "out": write(f.result(), stem)}),
-                  flush=True)
+                try:
+                    print(json.dumps(
+                        {"id": rid, "out": write(fut.result(), f"{stem}_{rid}")}
+                    ), flush=True)
+                except Exception as e:
+                    print(json.dumps({"id": rid, "error": repr(e)}), flush=True)
+
+        wt = threading.Thread(target=writer)
+        wt.start()
+
+        def raw_lines():
+            yield json.dumps(first_req)
+            yield from sys.stdin
+
+        # a malformed request answers with an error object and the daemon
+        # keeps serving — it must not kill the process and strand pending
+        # responses
+        for line in raw_lines():
+            if not line.strip():
+                continue
+            rid = None
+            try:
+                req = json.loads(line)
+                rid = req.get("id")
+                fut = engine.submit(load_raw(req["npz"]))
+            except Exception as e:
+                print(json.dumps({"id": rid, "error": repr(e)}), flush=True)
+                continue
+            out_q.put((rid, req["npz"], fut))
+        out_q.put(None)
+        wt.join()
     else:
-        futs = [(p, engine.submit(load_raw(p))) for p in paths]
-        for p, f in futs:
+        from collections import deque
+
+        # bound in-flight submissions: loading + aligning the whole input
+        # directory up front would hold every scene in memory and delay
+        # the first write by O(dataset)
+        window = max(1, engine.max_batch) * 4
+        pending = deque()
+
+        def drain_one():
+            p, f = pending.popleft()
             write(f.result(), os.path.splitext(os.path.basename(p))[0])
+
+        for p in paths:
+            pending.append((p, engine.submit(load_raw(p))))
+            if len(pending) >= window:
+                drain_one()
+        while pending:
+            drain_one()
     stats = engine.stats()
     engine.close()
     print(json.dumps(stats))

@@ -128,6 +128,20 @@ def make_postprocess(is_gtabs: bool, ref_time: int):
     return _postprocess
 
 
+def align_scene(raw: Dict[str, np.ndarray], is_gtabs: bool = True) -> Tuple[Dict, int]:
+    """Validate + grid-align one raw scene; returns ``(aligned, seq_id)``
+    with seq_id = -1 when the scene carries no identity (a slot index
+    would depend on micro-batch grouping, not on the scene).  The single
+    alignment path shared by the engine and ``serve.py``'s init template.
+    """
+    sid = int(np.asarray(raw["seq_id"])) if "seq_id" in raw else -1
+    aligned = align_to_grid(
+        dict(raw, source=raw.get("source", np.int32(0))),
+        is_gtabs=is_gtabs,
+    )
+    return aligned, sid
+
+
 class ServingEngine:
     def __init__(
         self,
@@ -365,15 +379,7 @@ class ServingEngine:
             return self._counter
 
     def _align_scene(self, raw: Dict[str, np.ndarray]) -> Tuple[Dict, int]:
-        """Validate + grid-align one raw scene; returns ``(aligned, seq_id)``
-        with seq_id = -1 when the scene carries no identity (a slot index
-        would depend on micro-batch grouping, not on the scene)."""
-        sid = int(np.asarray(raw["seq_id"])) if "seq_id" in raw else -1
-        aligned = align_to_grid(
-            dict(raw, source=raw.get("source", np.int32(0))),
-            is_gtabs=self.is_gtabs,
-        )
-        return aligned, sid
+        return align_scene(raw, self.is_gtabs)
 
     def _run_batch(
         self, aligned_scenes: List[Tuple[Dict, int]], record: bool = True
