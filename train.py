@@ -143,6 +143,9 @@ def main() -> None:
         dm_kwargs["num_actors"] = args.num_actors
     if args.num_lanes is not None:
         dm_kwargs["num_lanes"] = args.num_lanes
+    # --seed drives the data order/augmentation streams too (Lightning's
+    # seed_everything analog); an explicit config seed wins
+    dm_kwargs.setdefault("seed", args.seed)
     datamodule = DataModuleNuArgoMix(**dm_kwargs)
     steps_per_epoch = max(1, len(datamodule.train_loader()))
 

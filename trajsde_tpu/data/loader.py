@@ -267,12 +267,25 @@ class BatchLoader:
         )
         for item in enumerate(batches):
             in_q.put(item)
+        # bound worker skew ahead of the consumer: out_q's maxsize only
+        # bounds in-flight puts — while one slow batch blocks the ordered
+        # yield, every get() frees a slot and fast workers keep pumping the
+        # reorder heap (unbounded host memory at production batch sizes).
+        # Workers take a token per task; the consumer returns it per YIELD,
+        # so packed-but-unyielded batches never exceed the window.  in_q is
+        # FIFO, so the oldest missing index always holds a token and the
+        # window can never deadlock.
+        window = threading.Semaphore(
+            max(self.prefetch, 2) + 2 * self.num_workers
+        )
 
         def worker():
             while True:
+                window.acquire()
                 try:
                     i, batch_idx = in_q.get_nowait()
                 except queue.Empty:
+                    window.release()
                     return
                 try:
                     scenes = [self.dataset[int(j)] for j in batch_idx]
@@ -298,6 +311,7 @@ class BatchLoader:
             heapq.heappush(heap, (i, id(batch), batch))
             while heap and heap[0][0] == next_i:
                 yield heapq.heappop(heap)[2]
+                window.release()
                 next_i += 1
 
     def __iter__(self) -> Iterator:
@@ -340,6 +354,7 @@ class DataModuleNuArgoMix:
         test_dataset_args: Optional[dict] = None,
         num_workers: int = 2,
         bucket: bool = False,
+        seed: int = 0,
         **_unused,
     ):
         def mk(split, args):
@@ -353,6 +368,7 @@ class DataModuleNuArgoMix:
                 random_flip=args.get("random_flip", False),
                 is_gtabs=args.get("is_gtabs", True),
                 type=args.get("type", "grid"),
+                seed=seed,
             )
 
         self.train_dataset = mk("train", tr_dataset_args)
@@ -365,12 +381,14 @@ class DataModuleNuArgoMix:
         self.shuffle = shuffle
         self.num_workers = num_workers
         self.bucket = bucket
+        self.seed = seed
 
     def train_loader(self) -> BatchLoader:
         return BatchLoader(
             self.train_dataset, self.train_batch_size, self.num_actors,
             self.num_lanes, shuffle=self.shuffle,
             num_workers=self.num_workers, bucket=self.bucket,
+            seed=self.seed,
         )
 
     def val_loader(self) -> BatchLoader:

@@ -32,7 +32,6 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from trajsde_tpu.ops.pallas.aa_attention import _ln, _ln_halves
 
 NEG = -1e9
 

@@ -116,6 +116,30 @@ def _draw(shape, increments: str):
     return _normal(shape) if increments == "gaussian" else _rademacher(shape)
 
 
+def _step_seed(seed, tile, t):
+    """Decorrelated per-(seed, tile, step) PRNG seed.
+
+    The naive ``seed + tile*T + t`` makes adjacent user seeds replay each
+    other's stream shifted by one step (seed s+1 at step t == seed s at
+    step t+1) — K futures drawn with sequential seeds would be heavily
+    correlated.  murmur3's fmix32 finalizer avalanche breaks that.  Must
+    be IDENTICAL in the forward and backward kernels: the custom VJP
+    regenerates the increments from this seeding.  (Signed-wrapping int32
+    constants; logical shifts per the Mosaic rule — never ``>>``.)
+    """
+    h = (
+        jnp.asarray(seed, jnp.int32)
+        + jnp.asarray(tile, jnp.int32) * np.int32(-1640531527)  # 0x9E3779B9
+        + jnp.asarray(t, jnp.int32) * np.int32(-1028477387)     # 0xC2B2AE35
+    )
+    h = h ^ jax.lax.shift_right_logical(h, 16)
+    h = h * np.int32(-2048144789)  # 0x85EBCA6B
+    h = h ^ jax.lax.shift_right_logical(h, 13)
+    h = h * np.int32(-1028477387)  # 0xC2B2AE35
+    h = h ^ jax.lax.shift_right_logical(h, 16)
+    return h
+
+
 def _rollout_kernel(
     # scalar-prefetch
     seed_ref,
@@ -157,7 +181,7 @@ def _rollout_kernel(
     for k in range(unroll):
         t = tb * unroll + k
         if use_prng:
-            pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * num_steps + t)
+            pltpu.prng_seed(_step_seed(seed_ref[0], pl.program_id(0), t))
             z = _draw(y.shape, increments)
         else:
             z = noise_ref[k, :, :]
@@ -215,7 +239,7 @@ def _rollout_bwd_kernel(
     for k in range(unroll - 1, -1, -1):
         t = rb * unroll + k
         if use_prng:
-            pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * num_steps + t)
+            pltpu.prng_seed(_step_seed(seed_ref[0], pl.program_id(0), t))
             z = _draw(lam.shape, increments)
         else:
             z = noise_ref[k, :, :]
@@ -373,6 +397,10 @@ def sde_rollout_train(
     """
     ws = tuple(params[k] for k in W_ROLLOUT_ORDER)
     sg = jax.lax.stop_gradient
+    # normalize the seed BEFORE the custom_vjp boundary: the backward
+    # returns a shape-() float0 cotangent, so a shape-(1,) primal seed
+    # would fail the vjp structure check
+    seed = jnp.asarray(seed, jnp.int32).reshape(())
     return _rollout_train(
         num_steps, block_rows, unroll, interpret, increments,
         y0, ws, sg(t0s), sg(dts), seed,

@@ -60,7 +60,7 @@ def _load() -> Optional[ctypes.CDLL]:
         except OSError:
             _build_failed = True
             return None
-        if lib.packer_abi_version() != 2:
+        if lib.packer_abi_version() != 3:
             _build_failed = True
             return None
 
@@ -81,17 +81,6 @@ def _load() -> Optional[ctypes.CDLL]:
         ]
         lib.pack_batch.restype = None
 
-        lib.pack_scene_actors.argtypes = [
-            f32p, f32p, f32p, u8p, u8p, f32p,
-            i32p, i64, ctypes.c_int,
-            f32p, f32p, f32p, u8p, u8p, f32p, u8p,
-            i64, i64,
-        ]
-        lib.pack_scene_actors.restype = None
-        lib.pack_scene_lanes.argtypes = [
-            f32p, u8p, i32p, i64, f32p, u8p, u8p, i64, i64,
-        ]
-        lib.pack_scene_lanes.restype = None
         _lib = lib
         return _lib
 

@@ -13,59 +13,6 @@
 
 extern "C" {
 
-// Gather-copy actor tracks of one scene into batch slice `b`.
-//
-//   src arrays: domain [N_src, ...] row-major float32 / uint8 (bool)
-//   order:      [n_keep] source-actor indices to keep (slot i ← order[i])
-//   dst arrays: [A, ...] slices of the batch (already zero/pad-initialised)
-//
-// Widths: x [TH*2], y [TF*2], positions [T*2], padding [T], bos [TH].
-void pack_scene_actors(
-    const float* x, const float* y, const float* positions,
-    const uint8_t* padding, const uint8_t* bos, const float* angles,
-    const int32_t* order, int64_t n_keep, int has_y,
-    float* dst_x, float* dst_y, float* dst_positions,
-    uint8_t* dst_padding, uint8_t* dst_bos, float* dst_angles,
-    uint8_t* dst_valid,
-    int64_t th, int64_t tf) {
-  const int64_t t = th + tf;
-  for (int64_t i = 0; i < n_keep; ++i) {
-    const int64_t s = order[i];
-    std::memcpy(dst_x + i * th * 2, x + s * th * 2, sizeof(float) * th * 2);
-    if (has_y) {
-      std::memcpy(dst_y + i * tf * 2, y + s * tf * 2, sizeof(float) * tf * 2);
-    }
-    std::memcpy(dst_positions + i * t * 2, positions + s * t * 2,
-                sizeof(float) * t * 2);
-    std::memcpy(dst_padding + i * t, padding + s * t, t);
-    std::memcpy(dst_bos + i * th, bos + s * th, th);
-    dst_angles[i] = angles[s];
-    dst_valid[i] = 1;
-  }
-}
-
-// Gather-copy lane segments of one scene into batch slice `b`.
-//
-//   lane_positions [L_src, S_src, 2], lane_paddings [L_src, S_src]
-//   dst [L, S, 2] / [L, S]; copies min(S, S_src) poses per lane.
-void pack_scene_lanes(
-    const float* lane_positions, const uint8_t* lane_paddings,
-    const int32_t* order, int64_t n_keep,
-    float* dst_positions, uint8_t* dst_paddings, uint8_t* dst_valid,
-    int64_t s_src, int64_t s_dst) {
-  const int64_t s_copy = s_src < s_dst ? s_src : s_dst;
-  for (int64_t i = 0; i < n_keep; ++i) {
-    const int64_t l = order[i];
-    std::memcpy(dst_positions + i * s_dst * 2, lane_positions + l * s_src * 2,
-                sizeof(float) * s_copy * 2);
-    std::memcpy(dst_paddings + i * s_dst, lane_paddings + l * s_src, s_copy);
-    bool any_pose = false;
-    for (int64_t k = 0; k < s_copy; ++k) {
-      if (!lane_paddings[l * s_src + k]) { any_pose = true; break; }
-    }
-    dst_valid[i] = any_pose ? 1 : 0;
-  }
-}
 
 // Whole-batch packer (v2 ABI): ONE call packs every scene, eliminating
 // the per-scene ctypes dispatch that made the v1 path lose to numpy
@@ -131,6 +78,6 @@ void pack_batch(
   }
 }
 
-int packer_abi_version() { return 2; }
+int packer_abi_version() { return 3; }
 
 }  // extern "C"
