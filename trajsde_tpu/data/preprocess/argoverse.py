@@ -67,14 +67,7 @@ def process_scene(
     tracks = common.build_tracks(obs_steps, obs_xy, NUM_PAST, NUM_FUT, origin, rot)
 
     ref_valid = ~tracks["padding_mask"][:, REF_STEP]
-    ref_pos_global = np.stack(
-        [
-            np.asarray(xy, np.float32)[list(np.asarray(st, int)).index(REF_STEP)]
-            if REF_STEP in np.asarray(st, int)
-            else origin
-            for st, xy in zip(obs_steps, obs_xy)
-        ]
-    )
+    ref_pos_global = common.ref_positions_global(obs_steps, obs_xy, REF_STEP, origin)
     centerlines = lane_provider(ref_pos_global[ref_valid], city)
 
     segments = []
@@ -126,6 +119,8 @@ class ArgoversePreprocessor:
 
         df = pd.read_csv(path)
         timestamps = np.sort(df["TIMESTAMP"].unique())
+        if len(timestamps) <= REF_STEP:
+            return None  # truncated CSV: no reference step to anchor on
         ref_df = df[df["TIMESTAMP"] == timestamps[REF_STEP]]
         actor_ids = list(ref_df["TRACK_ID"].unique())
         df = df[df["TRACK_ID"].isin(actor_ids)]
@@ -137,8 +132,15 @@ class ArgoversePreprocessor:
             obs_steps.append(np.array([step_of[t] for t in tdf["TIMESTAMP"]], int))
             obs_xy.append(tdf[["X", "Y"]].to_numpy(np.float32))
 
-        av_id = df[df["OBJECT_TYPE"] == "AV"]["TRACK_ID"].iloc[0]
-        agent_id = df[df["OBJECT_TYPE"] == "AGENT"]["TRACK_ID"].iloc[0]
+        av_ids = df[df["OBJECT_TYPE"] == "AV"]["TRACK_ID"]
+        agent_ids = df[df["OBJECT_TYPE"] == "AGENT"]["TRACK_ID"]
+        if av_ids.empty or agent_ids.empty:
+            # AV/AGENT absent at the reference timestamp: skip the scene
+            # (the same unprocessable-scene contract as process_scene's
+            # missing-heading path) instead of IndexError-ing the run
+            return None
+        av_id = av_ids.iloc[0]
+        agent_id = agent_ids.iloc[0]
         return process_scene(
             obs_steps,
             obs_xy,

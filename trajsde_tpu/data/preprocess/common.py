@@ -108,7 +108,10 @@ def resample_polyline(points: np.ndarray, spacing: float = 1.0) -> np.ndarray:
     seg_len = np.linalg.norm(seg, axis=-1)
     cum = np.concatenate([[0.0], np.cumsum(seg_len)])
     total = cum[-1]
-    targets = np.arange(0.0, np.floor(total) + 1e-9, spacing)
+    # largest multiple of `spacing` <= total; for the reference's
+    # spacing=1 this is exactly floor(total) (Argoverse_abs.py:316-323),
+    # and non-integer spacings keep their valid tail samples
+    targets = np.arange(0.0, np.floor(total / spacing) * spacing + 1e-9, spacing)
     if targets.size == 0:
         return np.zeros((0, 2), np.float32)
     idx = np.clip(np.searchsorted(cum, targets, side="right") - 1, 0, len(seg) - 1)
@@ -186,14 +189,17 @@ def successor_edges(
     lane present in the scene.
     """
     e_succ: List[List[int]] = []
+    first_idx: Dict = {}
+    for i, tok in enumerate(seg_tokens):  # first chunk index per lane token
+        first_idx.setdefault(tok, i)
     for node_id, tok in enumerate(seg_tokens):
         e: List[int] = []
         if node_id + 1 < len(seg_tokens) and seg_tokens[node_id + 1] == tok:
             e.append(node_id + 1)
         else:
             for out_tok in outgoing.get(tok, ()):  # map-api adapter supplied
-                if out_tok in seg_tokens:
-                    e.append(seg_tokens.index(out_tok))
+                if out_tok in first_idx:
+                    e.append(first_idx[out_tok])
         e_succ.append(e)
     return e_succ
 
@@ -335,3 +341,17 @@ def assign_goal_lanes(
             goal[n, best] = 1.0
             has_goal[n] = True
     return goal, has_goal
+
+
+def ref_positions_global(obs_steps, obs_xy, ref_step: int, origin) -> np.ndarray:
+    """Global position of every actor at the reference step (``origin``
+    placeholder for actors unobserved there) — the shared gather both
+    dataset adapters use to query the lane provider."""
+    return np.stack(
+        [
+            np.asarray(xy, np.float32)[list(np.asarray(st, int)).index(ref_step)]
+            if ref_step in np.asarray(st, int)
+            else origin
+            for st, xy in zip(obs_steps, obs_xy)
+        ]
+    )

@@ -72,7 +72,9 @@ def devkit_lane_provider(nusc_map_root: str):
             lane_tokens.update(records["lane"])
             lane_tokens.update(records["lane_connector"])
         centerlines, tokens, outgoing = [], [], {}
-        for tok in lane_tokens:
+        # sorted: set iteration order is salted by PYTHONHASHSEED — shards
+        # must be byte-reproducible across runs
+        for tok in sorted(lane_tokens):
             path = nmap.get_arcline_path(tok)
             poses = arcline_path_utils.discretize_lane(path, resolution_meters=1.0)
             if len(poses) >= 2:
@@ -100,14 +102,7 @@ def process_scene(
     tracks = common.build_tracks(obs_steps, obs_xy, NUM_PAST, NUM_FUT, origin, rot)
 
     ref_valid = ~tracks["padding_mask"][:, REF_STEP]
-    ref_global = np.stack(
-        [
-            np.asarray(xy, np.float32)[list(np.asarray(st, int)).index(REF_STEP)]
-            if REF_STEP in np.asarray(st, int)
-            else origin
-            for st, xy in zip(obs_steps, obs_xy)
-        ]
-    )
+    ref_global = common.ref_positions_global(obs_steps, obs_xy, REF_STEP, origin)
     provided = lane_provider(ref_global[ref_valid], map_name)
     if isinstance(provided, tuple):
         centerlines, lane_tokens, outgoing = provided
@@ -168,6 +163,10 @@ def process_scene(
         source=np.int32(0),
         lane_edges=lane_edges,
         lane_edge_types=lane_edge_types,
+        # lane2_* edges index into THIS pair enumeration — persist it or
+        # the pair ids are uninterpretable downstream (the runtime
+        # al_edges applies a radius filter, so counts/order differ)
+        lane_actor_index=lane_actor_index,
         lane2_succ=lane2["succ"],
         lane2_pred=lane2["pred"],
         lane2_neigh=lane2["neigh"],

@@ -9,7 +9,6 @@ from __future__ import annotations
 from typing import Any, Dict, Optional
 
 import jax
-import jax.numpy as jnp
 from flax import linen as nn
 
 from trajsde_tpu.data.scene import SceneBatch, rotate_into
