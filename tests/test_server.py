@@ -315,6 +315,33 @@ def test_serve_cli_batch_and_daemon(tmp_path, rng):
     for l in replies:
         assert os.path.exists(l["out"])
 
+    # INTERACTIVE request/response: the client waits for each reply before
+    # sending the next request (and before closing stdin) — replies must
+    # flush as futures land, not when the next stdin line arrives; a
+    # malformed request answers {id, error} and the daemon keeps serving
+    p = subprocess.Popen(
+        [sys.executable, "serve.py", "-c", cfg, "--ckpt", ckpt, "--daemon",
+         "--output-dir", str(tmp_path / "preds3"),
+         "--num-actors", "6", "--num-lanes", "8", "--max-wait-ms", "50"],
+        env=ENV, stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL, text=True, bufsize=1,
+    )
+    try:
+        def rpc(req):
+            p.stdin.write(json.dumps(req) + "\n")
+            p.stdin.flush()
+            return json.loads(p.stdout.readline())
+
+        r1 = rpc({"id": "x", "npz": os.path.join(in_dir, "s0.npz")})
+        assert r1["id"] == "x" and os.path.exists(r1["out"])
+        rbad = rpc({"id": "y", "npz": str(tmp_path / "missing.npz")})
+        assert "error" in rbad
+        r2 = rpc({"id": "z", "npz": os.path.join(in_dir, "s1.npz")})
+        assert r2["id"] == "z" and os.path.exists(r2["out"])
+    finally:
+        p.stdin.close()
+        p.wait(timeout=120)
+
     # export the pipeline, then serve from the artifact with NO config or
     # checkpoint; long batching window on both runs so the micro-batcher
     # groups identically (grouping changes the key stream)
