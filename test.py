@@ -140,7 +140,10 @@ def main() -> None:
         Tf, K, D = dec.future_steps, dec.num_modes, dec.local_channels
 
     @jax.jit
-    def eval_step(params, scene, key):
+    def eval_step(params, scene, key, batch_idx):
+        # fold_in INSIDE the trace — an eager per-batch fold_in is one
+        # device round trip per batch on the remote TPU backend
+        key = jax.random.fold_in(key, batch_idx)
         if serve is not None:
             import jax.numpy as jnp
 
@@ -203,7 +206,7 @@ def main() -> None:
     submissions = []
     for i, scene in enumerate(loader):
         scene = mesh_lib.shard_batch(scene, mesh)
-        contribs = eval_step(state.params, scene, jax.random.fold_in(key, i))
+        contribs = eval_step(state.params, scene, key, np.int32(i))
         for m in metrics:
             if m.name in contribs:
                 m.accumulate(contribs[m.name])

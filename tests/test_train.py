@@ -76,7 +76,7 @@ def test_eval_step_and_metrics(rng):
         [{"dataset": "nuScenes", "end_idcs": [59, 29]}] * 3,
     )
     eval_step = make_eval_step(model, metrics)
-    contribs = eval_step(state.params, scene, jax.random.key(0))
+    contribs = eval_step(state.params, scene, jax.random.key(0), np.int32(0))
     for m in metrics:
         m.accumulate(contribs[m.name])
         value = m.compute()

@@ -22,7 +22,6 @@ import optax
 from flax import struct
 
 from trajsde_tpu.data.scene import SceneBatch
-from trajsde_tpu.parallel import mesh as mesh_lib
 
 
 @struct.dataclass
@@ -194,7 +193,10 @@ def make_eval_step(model, metrics, is_gtabs: bool = True) -> Callable:
     """Jitted eval step → per-metric (sum, count) contributions."""
 
     @jax.jit
-    def eval_step(params, scene: SceneBatch, sde_key):
+    def eval_step(params, scene: SceneBatch, sde_key, batch_idx):
+        # fold_in INSIDE the trace: an eager per-batch fold_in is one
+        # device round trip per val batch on the remote TPU backend
+        sde_key = jax.random.fold_in(sde_key, batch_idx)
         out = model.apply({"params": params}, scene, rngs={"sde": sde_key})
         pred, target, reg_mask, source = agent_slices(scene, out, is_gtabs)
         return {
@@ -306,6 +308,18 @@ class Trainer:
             return
         stream = itertools.chain([first], it)
         if first.x.ndim == 5:
+            if first.x.shape[0] != self.accum_steps:
+                import logging
+
+                # a FULL pre-grouped micro axis that disagrees with the
+                # configured accum trains a different effective batch than
+                # the LR schedule was sized for — loudly, not silently
+                logging.getLogger(__name__).warning(
+                    "pre-grouped micro axis K=%d != accum_steps=%d; "
+                    "training proceeds at the incoming K (check --accum "
+                    "vs the grouping pipeline)",
+                    first.x.shape[0], self.accum_steps,
+                )
             yield from stream
         else:
             yield from group_microbatches(stream, self.accum_steps)
@@ -375,6 +389,17 @@ class Trainer:
         # host-side step counter: reading ``state.step`` would force a
         # device sync every iteration
         step = int(state.step)
+        if (
+            self.checkpointer is not None
+            and self.metrics
+            and self.monitor not in {m.name for m in self.metrics}
+        ):
+            # a typo'd monitor would save every checkpoint with
+            # metric=None and the pruner would destroy the real best
+            raise ValueError(
+                f"monitor {self.monitor!r} is not a registered metric "
+                f"({sorted(m.name for m in self.metrics)})"
+            )
         if self.logger is not None:
             nfe = self._nfe_logs()
             if nfe:
@@ -386,6 +411,7 @@ class Trainer:
                 t0 = time.time()
                 n_steps = 0
                 scenes = 0
+                skip_acc = None
                 for scene in device_prefetch(self._grouped(train_batches())):
                     if self.profiler is not None:
                         # BEFORE the dispatch, with the step number this
@@ -397,22 +423,33 @@ class Trainer:
                     n_steps += 1
                     # with accumulation the leading axis is the micro axis
                     scenes += int(np.prod(scene.x.shape[: 1 + (self.accum_steps > 1)]))
+                    sk = logs.get("train/step_skipped")
+                    if sk is not None:
+                        # device-side running total (no host sync): a NaN
+                        # burst between log points must not be invisible
+                        # at high --log-every
+                        skip_acc = sk if skip_acc is None else skip_acc + sk
+                        logs = dict(
+                            logs, **{"train/steps_skipped_cum": skip_acc}
+                        )
                     if self.logger is not None and step % self.log_every == 0:
                         self.logger.log_scalars(step, logs)
                     if self._preempted:
-                        if self.checkpointer is not None:
-                            # synchronous: the process is about to die
-                            self.checkpointer.save(
-                                state, metric=None, step=step, wait=True
-                            )
-                        if self.logger is not None:
-                            self.logger.log_scalars(step, {"preempted": 1.0})
-                        return state
+                        return self._emergency_stop(state, step)
                 # train-only wall BEFORE the val pass: perf/steps_per_s
                 # must not absorb evaluation time (epoch_time_s stays
                 # inclusive)
                 train_dt = time.time() - t0
+                if self._preempted:
+                    # SIGTERM can land between the last step and here; the
+                    # val pass at production shapes takes minutes — save
+                    # NOW, not after evaluate
+                    return self._emergency_stop(state, step)
                 results = self.evaluate(state, val_batches)
+                if self._preempted:
+                    # interrupted mid-eval: metrics are partial — save
+                    # unscored rather than record a bogus monitor value
+                    return self._emergency_stop(state, step)
                 dt = time.time() - t0
                 if self.logger is not None:
                     self.logger.log_scalars(
@@ -434,9 +471,12 @@ class Trainer:
                         },
                     )
                 if self.checkpointer is not None:
-                    self.checkpointer.save(
-                        state, metric=results.get(self.monitor), step=step
-                    )
+                    metric = results.get(self.monitor)
+                    if metric is not None and not np.isfinite(metric):
+                        # NaN (empty/filtered val split) must not enter the
+                        # pruner's sort keys
+                        metric = None
+                    self.checkpointer.save(state, metric=metric, step=step)
         finally:
             self._restore_handlers(previous_handlers)
             if self.profiler is not None:
@@ -445,12 +485,24 @@ class Trainer:
                 self.checkpointer.wait()  # land any in-flight async save
         return state
 
+    def _emergency_stop(self, state: TrainState, step: int) -> TrainState:
+        if self.checkpointer is not None:
+            # synchronous: the process is about to die
+            self.checkpointer.save(state, metric=None, step=step, wait=True)
+        if self.logger is not None:
+            self.logger.log_scalars(step, {"preempted": 1.0})
+        return state
+
     def evaluate(self, state: TrainState, batches) -> Dict[str, float]:
         for m in self.metrics:
             m.reset()
         key = jax.random.key(12345)
-        for i, scene in enumerate(batches()):
-            contribs = self.eval_step(state.params, scene, jax.random.fold_in(key, i))
+        for i, scene in enumerate(device_prefetch(batches())):
+            if self._preempted:
+                break  # fit() saves the emergency checkpoint
+            contribs = self.eval_step(
+                state.params, scene, key, np.int32(i)
+            )
             for m in self.metrics:
                 m.accumulate(contribs[m.name])
         return {m.name: m.compute() for m in self.metrics}
