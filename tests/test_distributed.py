@@ -24,12 +24,12 @@ def test_sharded_eval_matches_unsharded(rng):
         ["ADE_T", "FDE_T", "MR_T"], [{"dataset": "nuScenes", "end_idcs": [59, 29]}] * 3
     )
     eval_step = make_eval_step(model, metrics)
-    plain = eval_step(state.params, scene, jax.random.key(0))
+    plain = eval_step(state.params, scene, jax.random.key(0), np.int32(0))
 
     mesh = mesh_lib.make_mesh(n_data=8, n_model=1)
     sharded_scene = mesh_lib.shard_batch(scene, mesh)
     sharded_params = jax.device_put(state.params, mesh_lib.replicated(mesh))
-    sharded = eval_step(sharded_params, sharded_scene, jax.random.key(0))
+    sharded = eval_step(sharded_params, sharded_scene, jax.random.key(0), np.int32(0))
     for name in ("ADE_T", "FDE_T", "MR_T"):
         np.testing.assert_allclose(
             np.asarray(plain[name][0]), np.asarray(sharded[name][0]), rtol=1e-5
