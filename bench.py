@@ -41,8 +41,44 @@ def _enable_compile_cache() -> None:
         pass
 
 
+def _backend_watchdog(timeout_s: float = 600.0) -> None:
+    """Fail fast (one honest JSON error line) if backend init hangs.
+
+    The tunneled TPU backend blocks INSIDE ``jax.devices()`` with no
+    timeout when the relay is down; without this guard a bench invocation
+    hangs instead of reporting.  Probes device init in a daemon thread and
+    exits with an error record if it never returns.
+    """
+    import threading
+
+    done = threading.Event()
+    holder = {}
+
+    def probe():
+        try:
+            holder["devices"] = jax.devices()
+        except Exception as e:  # init errored — report rather than raise
+            holder["error"] = repr(e)
+        done.set()
+
+    threading.Thread(target=probe, daemon=True).start()
+    if not done.wait(timeout_s) or "error" in holder:
+        print(json.dumps({
+            "metric": "sde_train_scenes_per_sec",
+            "value": None,
+            "unit": "scenes/sec/chip",
+            "vs_baseline": None,
+            "error": holder.get(
+                "error", f"backend init did not return in {timeout_s:.0f}s "
+                "(TPU tunnel down?)"
+            ),
+        }))
+        raise SystemExit(1)
+
+
 def main() -> None:
     _enable_compile_cache()
+    _backend_watchdog()
     # hardware-friendly counter-based PRNG: dropout/Brownian mask generation
     # over the big pair tensors is ~1.24x faster than threefry on v5e
     jax.config.update("jax_default_prng_impl", "rbg")
