@@ -259,6 +259,16 @@ def test_http_endpoint(engine_setup, rng):
         with pytest.raises(urllib.error.HTTPError) as ei:
             urllib.request.urlopen(f"{base}/nope", timeout=30)
         assert ei.value.code == 404
+        # oversized Content-Length → 413 before the body is allocated
+        from trajsde_tpu import httpd as _httpd
+
+        req = urllib.request.Request(
+            f"{base}/predict", data=b"x",
+            headers={"Content-Length": str(_httpd.MAX_BODY_BYTES + 1)},
+        )
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=30)
+        assert ei.value.code == 413
         assert post_scene(0)["agent_pi"]  # still serving after errors
     finally:
         server.shutdown()

@@ -31,6 +31,11 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
 
+# one scene at production capacity is <2 MiB; anything near this bound is
+# not a scene.  Enforced BEFORE the body read — Content-Length is
+# attacker-controlled and the read allocates it
+MAX_BODY_BYTES = 64 * 2**20
+
 
 def _json_ready(result):
     out = {}
@@ -80,6 +85,16 @@ def make_http_server(engine, host: str = "127.0.0.1", port: int = 0):
                 return
             try:
                 n = int(self.headers.get("Content-Length", 0))
+            except ValueError:
+                self._reply(400, {"error": "bad Content-Length"})
+                return
+            if n > MAX_BODY_BYTES:
+                self._reply(413, {"error": (
+                    f"body of {n} bytes exceeds the {MAX_BODY_BYTES}-byte "
+                    "limit (one scene per request)"
+                )})
+                return
+            try:
                 body = self.rfile.read(n)
                 ctype = (self.headers.get("Content-Type") or "").split(";")[0]
                 if ctype == "application/json":
