@@ -241,7 +241,7 @@ def part_capacc():
         eval_step = make_eval_step(model, metrics)
         for m in metrics:
             m.reset()
-        c = eval_step(state.params, val_scene, jax.random.key(5))
+        c = eval_step(state.params, val_scene, jax.random.key(5), np.int32(0))
         for m in metrics:
             m.accumulate(jax.tree.map(float, c[m.name]))
         report(f"capacc/{name}", {m.name: round(float(m.compute()), 4) for m in metrics})

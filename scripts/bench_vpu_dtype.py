@@ -6,7 +6,6 @@ VPU-bound forward (packed 2-per-lane bf16) or not.  One kernel, N chained
 """
 from __future__ import annotations
 
-import functools
 import time
 
 import jax

@@ -3,9 +3,9 @@ import sys; sys.path.insert(0, __import__('os').path.dirname(__import__('os').pa
 jax.config.update('jax_default_prng_impl', 'rbg')
 from jax.experimental.compilation_cache import compilation_cache as cc
 cc.set_cache_dir("/tmp/jax_cache_trajsde")
-from __graft_entry__ import _scene, _build_flagship
+from __graft_entry__ import _build_flagship
 from trajsde_tpu.losses import diff_bce_loss, l2_loss
-from trajsde_tpu.train.loop import create_train_state, make_train_step, make_eval_step, agent_slices
+from trajsde_tpu.train.loop import create_train_state, make_train_step, make_eval_step
 from trajsde_tpu.train.metrics import make_metrics
 
 B, A, L = 64, 16, 32
@@ -23,7 +23,7 @@ eval_step = make_eval_step(model, metrics)
 
 def evaluate(state):
     for m in metrics: m.reset()
-    c = eval_step(state.params, val_scene, jax.random.key(5))
+    c = eval_step(state.params, val_scene, jax.random.key(5), np.int32(0))
     for m in metrics: m.accumulate(jax.tree.map(float, c[m.name]))
     return {m.name: m.compute() for m in metrics}
 

@@ -10,7 +10,7 @@ favor of ``module_name`` registry lookups.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, List, Optional
+from typing import Any, Dict, List
 
 import yaml
 

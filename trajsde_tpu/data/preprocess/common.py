@@ -15,7 +15,7 @@ lane_paddings, source`` (+ ``category`` for nuScenes).
 """
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
 

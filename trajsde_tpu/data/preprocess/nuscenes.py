@@ -19,7 +19,7 @@ Devkit access is isolated in :func:`devkit_scene_iter` /
 from __future__ import annotations
 
 import os
-from typing import Callable, Dict, List, Optional
+from typing import Callable, Dict, List
 
 import numpy as np
 

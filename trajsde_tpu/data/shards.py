@@ -19,7 +19,7 @@ from __future__ import annotations
 import json
 import os
 import struct
-from typing import Dict, Iterator, List, Sequence, Tuple
+from typing import Dict, List, Sequence
 
 import numpy as np
 

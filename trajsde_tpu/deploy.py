@@ -71,7 +71,6 @@ def export_serving(
     ``["cpu", "tpu"]``) emits a multi-platform module; default is the
     exporting backend.  Returns the manifest dict.
     """
-    import jax.numpy as jnp
     from jax import export as jax_export
 
     from trajsde_tpu.server import make_postprocess

@@ -9,7 +9,7 @@ axis is simply another batch dimension of a dense masked attention, so all
 """
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import jax.numpy as jnp
@@ -20,7 +20,6 @@ from trajsde_tpu.models import graph
 from trajsde_tpu.models.embedding import MultipleInputEmbedding, SingleInputEmbedding
 from trajsde_tpu.models.layers import (
     LN_EPS,
-    XAVIER,
     EdgeAttention,
     MlpBlock,
     MultiheadSelfAttention,

@@ -21,7 +21,7 @@ every step gets an independent, reproducible stream.
 """
 from __future__ import annotations
 
-from typing import Any, Optional, Tuple
+from typing import Any
 
 import jax
 import jax.numpy as jnp

@@ -21,7 +21,6 @@ contract as diffrax's ``VirtualBrownianTree``).
 """
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -24,7 +24,7 @@ FFN) stays in XLA where it is already fusion-friendly.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
