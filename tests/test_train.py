@@ -137,6 +137,82 @@ def test_trainer_fit_one_epoch(rng, tmp_path):
     )
 
 
+def test_monitor_typo_raises(rng, tmp_path):
+    """A monitor name that matches no registered metric must fail at
+    fit() entry — otherwise every checkpoint saves with metric=None and
+    the pruner can destroy the real best."""
+    import pytest
+
+    from trajsde_tpu.train.checkpoint import CheckpointManager
+
+    scene = _scene(rng)
+    model = make_baseline()
+    opt = optax.adamw(1e-3)
+    state = create_train_state(model, opt, scene)
+    metrics = make_metrics(
+        ["ADE_T"], [{"dataset": "nuScenes", "end_idcs": [59, 29]}]
+    )
+    trainer = Trainer(
+        model=model,
+        optimizer=opt,
+        losses=[("L2", 1.0, l2_loss)],
+        metrics=metrics,
+        checkpointer=CheckpointManager(str(tmp_path / "ckpt"), save_top_k=2),
+        monitor="ADE",  # typo: the metric is ADE_T
+    )
+    with pytest.raises(ValueError, match="not a registered metric"):
+        trainer.fit(
+            state,
+            train_batches=lambda: [scene],
+            val_batches=lambda: [scene],
+            max_epochs=1,
+        )
+
+
+def test_preemption_mid_eval_saves_unscored(rng, tmp_path):
+    """SIGTERM during the val pass → the eval loop stops early and the
+    emergency checkpoint saves UNSCORED (partial metrics must not enter
+    the leaderboard as a real monitor value)."""
+    import os
+    import signal
+
+    from trajsde_tpu.train.checkpoint import CheckpointManager
+
+    scene = _scene(rng)
+    model = make_baseline()
+    opt = optax.adamw(1e-3)
+    state = create_train_state(model, opt, scene)
+    metrics = make_metrics(
+        ["ADE_T"], [{"dataset": "nuScenes", "end_idcs": [59, 29]}]
+    )
+    trainer = Trainer(
+        model=model,
+        optimizer=opt,
+        losses=[("L2", 1.0, l2_loss)],
+        metrics=metrics,
+        checkpointer=CheckpointManager(str(tmp_path / "ckpt"), save_top_k=2),
+        monitor="ADE_T",
+    )
+
+    def val_then_sigterm():
+        yield scene
+        os.kill(os.getpid(), signal.SIGTERM)
+        yield scene
+        yield scene
+
+    out = trainer.fit(
+        state,
+        train_batches=lambda: [scene],
+        val_batches=val_then_sigterm,
+        max_epochs=3,
+    )
+    assert trainer._preempted
+    assert int(out.step) == 1  # epoch 1 trained; nothing after the signal
+    entry = trainer.checkpointer.latest()
+    assert entry is not None and entry["metric"] is None
+    assert signal.getsignal(signal.SIGTERM) is signal.SIG_DFL
+
+
 def test_training_is_deterministic(rng):
     """Fixed seeds ⇒ bit-identical parameters after several steps."""
     scene = _scene(rng)
