@@ -271,7 +271,23 @@ def _bind_sde_decoder(ref, params, b):
 # ---------------------------------------------------------------------------
 # 1. flagship: full SDE model, matched nonzero noise, L2 + DiffBCE
 # ---------------------------------------------------------------------------
-def test_full_sde_model_grad_parity(rng, monkeypatch):
+@pytest.mark.parametrize(
+    "A,Th,Tf,D,H,F,dt_fut,grad_rtol",
+    [
+        pytest.param(3, 5, 8, 16, 4, 2, 0.25, 2e-3, id="tiny"),
+        # the shipped architecture's own dimensions (embed_dim 64 / 8
+        # heads / 21-segment encoder / 60-step rollout / K=10 modes,
+        # ``configs/nusargo/hivt_nuSArgo_sdesepenc_sdedec.yml``) — proves
+        # gradient parity is not a tiny-shape artifact
+        pytest.param(
+            6, 21, 60, 64, 8, 10, 0.1, 4e-3,
+            marks=pytest.mark.slow, id="reference-dims",
+        ),
+    ],
+)
+def test_full_sde_model_grad_parity(
+    rng, monkeypatch, A, Th, Tf, D, H, F, dt_fut, grad_rtol
+):
     from trajsde_tpu.losses import diff_bce_loss, l2_loss
     from trajsde_tpu.models.aggregator import GlobalInteractor
     from trajsde_tpu.models.decoders import SDEDecoder
@@ -283,7 +299,8 @@ def test_full_sde_model_grad_parity(rng, monkeypatch):
     l2_mod = _ref("losses.L2")
     bce_mod = _ref("losses.diff_BCE")
 
-    A, Th, Tf, D, H, F = 3, 5, 8, 16, 4, 2
+    max_past_t = round(0.1 * (Th - 1), 6)   # 0.4 tiny / 2.0 reference
+    max_fut_t = round(dt_fut * Tf, 6)       # 2.0 tiny / 6.0 reference
     radius = 60.0
     scene = _tiny_scene(rng, A=A, Th=Th, Tf=Tf)
     y_np = rng.normal(0, 2, size=(1, A, Tf, 2)).astype(np.float32)
@@ -296,14 +313,14 @@ def test_full_sde_model_grad_parity(rng, monkeypatch):
     # ---- JAX side ----------------------------------------------------
     enc = LocalEncoderSDESep(
         historical_steps=Th, embed_dim=D, num_heads=H, ref_time=Th - 1,
-        max_past_t=0.4, minimum_step=0.1, local_radius=radius,
+        max_past_t=max_past_t, minimum_step=0.1, local_radius=radius,
     )
     agg = GlobalInteractor(
         historical_steps=Th, embed_dim=D, num_modes=F, num_heads=H, num_layers=3
     )
     dec = SDEDecoder(
         local_channels=D, global_channels=D, future_steps=Tf, num_modes=F,
-        max_fut_t=2.0,
+        max_fut_t=max_fut_t,
     )
     kw = dict(sde_noise=jnp.asarray(enc_eps), twin_noise=jnp.asarray(twin_eps))
     enc_p = enc.init({"params": jax.random.key(0)}, scene, **kw)["params"]
@@ -374,7 +391,7 @@ def test_full_sde_model_grad_parity(rng, monkeypatch):
     ref_enc = enc_mod.LocalEncoderSDESepPara2(
         historical_steps=Th, embed_dim=D, num_heads=H, dropout=0.1,
         local_radius=radius, node_dim=2, edge_dim=2, parallel=True,
-        ref_time=Th - 1, max_past_t=0.4, minimum_step=0.1,
+        ref_time=Th - 1, max_past_t=max_past_t, minimum_step=0.1,
         run_backwards=True, sde_layers=2, method="euler",
         rtol=1e-3, atol=1e-3, input_diff=True,
     ).eval()
@@ -384,7 +401,7 @@ def test_full_sde_model_grad_parity(rng, monkeypatch):
     ).eval()
     ref_dec = dec_mod.SDEDecoder(
         local_channels=D, global_channels=D, future_steps=Tf, num_modes=F,
-        max_fut_t=2.0, uncertain=True, min_scale=1e-3, min_stepsize=0.25,
+        max_fut_t=max_fut_t, uncertain=True, min_scale=1e-3, min_stepsize=dt_fut,
         method="euler", rtol=1e-3, atol=1e-3, ode_func_layers=3,
     ).eval()
     with torch.no_grad():
@@ -406,7 +423,7 @@ def test_full_sde_model_grad_parity(rng, monkeypatch):
     assert step["k"] == Th  # every encoder segment consumed its draw
 
     tloss.backward()
-    n = b.check(jgrads, rtol=2e-3, atol=1e-6)
+    n = b.check(jgrads, rtol=grad_rtol, atol=1e-6)
     assert n > 150  # the whole flagship stack is covered
 
 
