@@ -430,7 +430,20 @@ def test_full_sde_model_grad_parity(
 # ---------------------------------------------------------------------------
 # 2. baseline path: LocalEncoder → GlobalInteractor → MLPDecoder → L2
 # ---------------------------------------------------------------------------
-def test_baseline_model_grad_parity(rng):
+@pytest.mark.parametrize(
+    "A,Th,Tf,D,H,F,L",
+    [
+        pytest.param(3, 5, 8, 16, 4, 2, 4, id="tiny"),
+        # the shipped baseline config's own dimensions
+        # (``configs/nusargo/hivt_nuSArgo_trmenc_mlpdec.yml``: embed 64,
+        # 4 heads, 4 temporal layers, K=10 modes)
+        pytest.param(
+            6, 21, 60, 64, 4, 10, 4,
+            marks=pytest.mark.slow, id="reference-dims",
+        ),
+    ],
+)
+def test_baseline_model_grad_parity(rng, A, Th, Tf, D, H, F, L):
     from trajsde_tpu.losses import l2_loss
     from trajsde_tpu.models.aggregator import GlobalInteractor
     from trajsde_tpu.models.decoders import MLPDecoder
@@ -441,7 +454,6 @@ def test_baseline_model_grad_parity(rng):
     dec_mod = _ref("models.decoders.dec_hivt_nusargo_grid")
     l2_mod = _ref("losses.L2")
 
-    A, Th, Tf, D, H, F, L = 3, 5, 8, 16, 4, 2, 4
     radius = 60.0
     scene = _tiny_scene(rng, A=A, Th=Th, Tf=Tf)
     y_np = rng.normal(0, 2, size=(1, A, Tf, 2)).astype(np.float32)
