@@ -30,7 +30,15 @@ def campaign_gaps(path):
     for stack in ("jax", "torch_ref"):
         if stack in rep:
             draws[stack].append(rep[stack])
-    out = {"file": os.path.basename(path), "steps": d["config"]["steps"]}
+    out = {
+        "file": os.path.basename(path),
+        "steps": d["config"]["steps"],
+        # early campaigns predate the explicit seed key; they ran seed 0
+        "seed": d["config"].get("seed", 0),
+        "dims": "D{D}A{A}TH{TH}TF{TF}".format(**{
+            k: d["config"].get(k, "?") for k in ("D", "A", "TH", "TF")
+        }),
+    }
     for metric in ("minADE", "minFDE"):
         means = {
             s: sum(x[metric] for x in draws[s]) / len(draws[s]) for s in draws
@@ -53,10 +61,20 @@ def main():
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     paths = sorted(glob.glob(os.path.join(root, args.glob)))
-    if not paths:
+    # The default glob also matches this script's own output
+    # (PARITY_TRAIN_aggregate.json) and any other non-campaign files;
+    # campaigns are identified by their 'history' key.
+    rows = []
+    for p in paths:
+        if args.out and os.path.basename(p) == os.path.basename(args.out):
+            continue
+        d = json.load(open(p))
+        if "history" not in d:
+            print(f"[skip] {os.path.basename(p)}: no 'history' key (not a campaign)")
+            continue
+        rows.append(campaign_gaps(p))
+    if not rows:
         raise SystemExit(f"no campaign files match {args.glob}")
-
-    rows = [campaign_gaps(p) for p in paths]
 
     print("| campaign | steps | repo minADE | ref minADE | gap | repo minFDE | ref minFDE | gap |")
     print("|---|---|---|---|---|---|---|---|")
@@ -69,15 +87,32 @@ def main():
         )
 
     summary = {"n_campaigns": len(rows), "campaigns": rows}
+    # Campaigns sharing a (seed, dims) configuration are NOT independent
+    # draws (same init, same dataset — e.g. the 240- and 600-step seed-0
+    # runs differ only in step count and their gaps are nearly identical),
+    # so collapse each (seed, dims-signature) group to its mean gap before
+    # computing the across-campaign standard error.
+    def group_key(r):
+        return (r["seed"], r["dims"])
+
     for metric in ("minADE", "minFDE"):
-        gaps = [r[metric]["rel_gap"] for r in rows]
+        groups = {}
+        for r in rows:
+            groups.setdefault(group_key(r), []).append(r[metric]["rel_gap"])
+        gaps = [sum(g) / len(g) for g in groups.values()]
         n = len(gaps)
         mean = sum(gaps) / n
         var = sum((g - mean) ** 2 for g in gaps) / (n - 1) if n > 1 else float("nan")
         se = math.sqrt(var / n) if n > 1 else float("nan")
-        summary[metric] = {"mean_rel_gap": mean, "se": se, "gaps": gaps}
+        summary[metric] = {
+            "mean_rel_gap": mean,
+            "se": se,
+            "gaps": gaps,
+            "n_independent_groups": n,
+        }
         print(
-            f"\n{metric}: mean signed cross-stack gap over {n} paired campaigns "
+            f"\n{metric}: mean signed cross-stack gap over {n} independent "
+            f"(seed, dims) groups ({len(rows)} campaigns) "
             f"= {mean:+.2%} ± {se:.2%} (s.e.)"
             + ("  → consistent with zero" if abs(mean) <= 2 * se else "")
         )
