@@ -78,6 +78,38 @@ def test_reference_shipped_config_loads_drop_in():
     assert [m.name for m in metrics] == ["ADE_T", "FDE_T", "MR_T"]
 
 
+def test_tpu_fast_config_builds_capped_model(rng):
+    """The _tpu_fast recipe = _tpu config + neighbor_cap 24; everything
+    else (dims, losses, metrics, bf16 mix) must stay identical."""
+    import jax.numpy as jnp
+    import yaml
+
+    base = os.path.join(os.path.dirname(SDE_CFG),
+                        "hivt_nuSArgo_sdesepenc_sdedec_tpu.yml")
+    fast = os.path.join(os.path.dirname(SDE_CFG),
+                        "hivt_nuSArgo_sdesepenc_sdedec_tpu_fast.yml")
+    cfg = load_config(fast)
+    model = build_model(cfg)
+    assert model.encoder.neighbor_cap == 24
+    assert model.encoder.dtype == jnp.bfloat16
+
+    # the fast recipe is the _tpu config plus exactly the cap knob
+    b, f = yaml.safe_load(open(base)), yaml.safe_load(open(fast))
+    assert f["encoder"]["kwargs"].pop("neighbor_cap") == 24
+    assert b == f
+
+    # it still runs end-to-end (cap >= A here so the gather is inert;
+    # capped-vs-dense numerics are covered by test_attention_parity)
+    scene = make_scene_batch(rng, batch_size=2, num_actors=6, num_lanes=8)
+    params = jax.jit(model.init)(
+        {"params": jax.random.key(0), "sde": jax.random.key(1)}, scene
+    )
+    out = jax.jit(lambda p, s, k: model.apply(p, s, rngs={"sde": k}))(
+        params, scene, jax.random.key(2)
+    )
+    assert np.isfinite(np.asarray(out["loc"])).all()
+
+
 def test_tpu_production_config_builds_bf16_model(rng):
     """The _tpu config variant is the shipped config + per-component bf16;
     the model builds and a forward runs with bf16 compute."""
