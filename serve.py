@@ -52,7 +52,9 @@ def main() -> None:
                     help="compile every batch bucket before serving")
     ap.add_argument("--shard", action="store_true",
                     help="shard each batch bucket over all devices "
-                         "(data-parallel serving; scan engine only)")
+                         "(data-parallel serving; scan engine splits "
+                         "scenes via GSPMD, kernel engine shard_maps the "
+                         "rollout over the flattened B*F*A row axis)")
     ap.add_argument("--export", default=None, metavar="DIR",
                     help="serialize the serving pipeline (StableHLO per "
                          "batch bucket, weights baked in) and exit")
@@ -75,8 +77,8 @@ def main() -> None:
     if args.from_export and args.export:
         ap.error("--export needs the real model; it cannot re-export an artifact")
     if args.from_export and args.shard:
-        ap.error("--shard requires the scan engine; export artifacts are "
-                 "opaque to the SPMD partitioner")
+        ap.error("--shard cannot partition an export artifact (an opaque "
+                 "StableHLO call); use the scan or kernel engines")
 
     if os.environ.get("TRAJSDE_FORCE_CPU"):
         import jax

@@ -36,6 +36,7 @@ def test_sde_encoder_rejects_unsupported(rng):
             )
 
 
+@pytest.mark.slow
 def test_sde_encoder_adaptive(rng):
     """adaptive: true runs bounded step-doubling inside each segment —
     same parameter tree as fixed-grid, finite outputs and gradients."""

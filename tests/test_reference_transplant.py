@@ -765,6 +765,60 @@ def test_losses_transplant(rng):
     )
 
 
+def test_l2_loss_ragged_megagraph_reduction(rng):
+    """B>1 with RAGGED per-scene actor counts: the reference batches scenes
+    into one PyG mega-graph and takes a single global masked mean over all
+    valid (actor, step) cells (``losses/L2.py:22-26`` over the
+    ``TemporalData.__inc__`` concatenation, ``models/utils/util.py:67-75``)
+    — NOT a mean of per-scene means.  The padded dense [B, A_max] loss must
+    reproduce that reduction exactly: padded actor slots carry
+    ``reg_mask=False`` and the denominator counts valid cells globally."""
+    from trajsde_tpu.losses import l2_loss
+
+    l2_ref = _ref("losses.L2")
+
+    F, T, A_max = 3, 8, 5
+    counts = [2, 5, 3]  # ragged valid-actor counts; scene 1 fills A_max
+    B = len(counts)
+
+    # dense padded JAX batch + the reference's concatenated mega-graph view
+    loc = np.zeros((B, F, A_max, T, 4), np.float32)
+    y = np.zeros((B, A_max, T, 2), np.float32)
+    reg = np.zeros((B, A_max, T), bool)
+    cat_loc, cat_y, cat_reg = [], [], []
+    for b, n in enumerate(counts):
+        lb = rng.normal(size=(F, n, T, 4)).astype(np.float32)
+        yb = rng.normal(size=(n, T, 2)).astype(np.float32)
+        rb = rng.uniform(size=(n, T)) < 0.7
+        rb[0] = True  # every scene keeps at least one fully valid actor
+        loc[b, :, :n], y[b, :n], reg[b, :n] = lb, yb, rb
+        # padded slots: fill loc with garbage to prove the mask gates it
+        loc[b, :, n:] = 1e6
+        cat_loc.append(lb)
+        cat_y.append(yb)
+        cat_reg.append(rb)
+
+    data = {"y": torch.from_numpy(np.concatenate(cat_y, axis=0))}
+    out_t = {
+        "loc": torch.from_numpy(np.concatenate(cat_loc, axis=1)),
+        "reg_mask": torch.from_numpy(np.concatenate(cat_reg, axis=0)),
+    }
+    ref_val = float(l2_ref.L2()(data, out_t))
+
+    out_j = {"loc": jnp.asarray(loc), "reg_mask": jnp.asarray(reg)}
+    mine = float(l2_loss(jnp.asarray(y), out_j))
+    np.testing.assert_allclose(mine, ref_val, rtol=1e-6)
+
+    # a mean-of-per-scene-means WOULD differ on this ragged batch (guards
+    # against silently changing the reduction): verify the distinction is
+    # actually exercised by these inputs
+    per_scene = []
+    for b, n in enumerate(counts):
+        o = {"loc": jnp.asarray(loc[b:b + 1]), "reg_mask": jnp.asarray(reg[b:b + 1])}
+        per_scene.append(float(l2_loss(jnp.asarray(y[b:b + 1]), o)))
+    assert abs(np.mean(per_scene) - ref_val) > 1e-3
+
+
 # ---------------------------------------------------------------------------
 # 10. Metrics — the reference's torchmetrics classes executed verbatim (the
 #     per-source best-mode / end-index rules, ``metrics/{ade,fde,mr}_t.py``).

@@ -178,14 +178,46 @@ def test_sharded_serving_matches_unsharded(engine_setup, rng):
         np.testing.assert_allclose(a["agent_pi"], b["agent_pi"], atol=1e-5)
 
 
-def test_shard_requires_scan_engine(engine_setup):
+@pytest.mark.slow
+def test_sharded_kernel_matches_unsharded(engine_setup, rng):
+    """shard=True with the kernel engine wraps the Pallas rollout in
+    shard_map over the flattened B·F·A row axis.  With explicit noise
+    (the CPU interpreter path) rows are merely split across devices, so
+    the sharded result must equal the unsharded kernel run exactly."""
     model, params = engine_setup
-    with pytest.raises(ValueError, match="scan"):
-        _mk_engine(model, params, engine="kernel", shard=True)
-    # auto + shard resolves to scan instead of failing
-    eng = _mk_engine(model, params, engine="auto", shard=True)
-    assert eng.engine == "scan"
-    eng.close()
+    scenes = [make_raw_scene(rng, s % 2, num_actors=5, num_lanes=6)
+              for s in range(3)]
+    outs = []
+    for shard in (False, True):
+        eng = _mk_engine(model, params, engine="kernel", seed=13, shard=shard)
+        if shard:
+            # rows = bucket·K·A is divisible by 8 even at bucket 1
+            # (1·10·8 = 80), so every bucket fans out over all 8 devices
+            assert set(eng._kserves) == {1, 2, 4}
+            assert len(set(map(id, eng._kserves.values()))) == 1
+        outs.append(eng.predict(scenes))
+        eng.close()
+    for a, b in zip(*outs):
+        np.testing.assert_allclose(a["loc"], b["loc"], atol=1e-5)
+        np.testing.assert_allclose(a["agent_world"], b["agent_world"], atol=1e-4)
+        np.testing.assert_allclose(a["agent_pi"], b["agent_pi"], atol=1e-5)
+
+
+def test_shard_rejects_exported_engine(engine_setup):
+    """A deserialized StableHLO artifact is an opaque call the partitioner
+    cannot split; shard=True must refuse it loudly (kernel and scan are
+    both shardable now)."""
+    model, params = engine_setup
+
+    class _FakeExport:
+        manifest = {"key_data": {"shape": (2,)}}
+        decoder = model.decoder
+
+    with pytest.raises(ValueError, match="export"):
+        ServingEngine(
+            _FakeExport(), None, num_actors=A, num_lanes=L,
+            engine="exported", batch_buckets=(1, 2, 4), shard=True,
+        )
 
 
 def test_submit_propagates_errors(engine_setup, rng):
@@ -351,6 +383,26 @@ def test_serve_cli_batch_and_daemon(tmp_path, rng):
     finally:
         p.stdin.close()
         p.wait(timeout=120)
+
+    # sharded KERNEL engine e2e: --shard --engine kernel shard_maps the
+    # Pallas rollout over the flattened row axis (interpret mode + explicit
+    # noise on CPU → must reproduce the unsharded kernel run exactly)
+    out_k = str(tmp_path / "preds_kernel")
+    out_ks = str(tmp_path / "preds_kernel_shard")
+    for extra, kout in ((["--engine", "kernel"], out_k),
+                        (["--engine", "kernel", "--shard"], out_ks)):
+        r = subprocess.run(
+            [sys.executable, "serve.py", "-c", cfg, "--ckpt", ckpt,
+             "--input-dir", in_dir, "--output-dir", kout,
+             "--num-actors", "6", "--num-lanes", "8", "--max-batch", "4",
+             *extra],
+            env=ENV, capture_output=True, text=True, timeout=1200,
+        )
+        assert r.returncode == 0, r.stderr[-3000:]
+    for f in sorted(os.listdir(out_ks)):
+        a, b = np.load(os.path.join(out_ks, f)), np.load(os.path.join(out_k, f))
+        np.testing.assert_allclose(a["agent_world"], b["agent_world"], atol=1e-4)
+        np.testing.assert_allclose(a["loc"], b["loc"], atol=1e-5)
 
     # export the pipeline, then serve from the artifact with NO config or
     # checkpoint; long batching window on both runs so the micro-batcher

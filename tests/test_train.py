@@ -1,5 +1,6 @@
 """Training-step tests: loss decreases, metrics flow, multi-device sharding."""
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 import optax
@@ -24,6 +25,7 @@ def _scene(rng, batch=B):
     return make_scene_batch(rng, batch_size=batch, num_actors=A, num_lanes=L, sources=[0, 1])
 
 
+@pytest.mark.slow
 def test_sde_train_step_decreases_loss(rng):
     scene = _scene(rng)
     model = make_sde()
@@ -39,6 +41,7 @@ def test_sde_train_step_decreases_loss(rng):
     assert np.isfinite(float(logs["train/DiffBCE"]))
 
 
+@pytest.mark.slow
 def test_grads_flow_to_all_params(rng):
     """Every parameter that the shipped config trains must receive gradient."""
     scene = _scene(rng)
@@ -84,6 +87,7 @@ def test_eval_step_and_metrics(rng):
     assert metrics[0].compute() > 0
 
 
+@pytest.mark.slow
 def test_sharded_train_step_8dev(rng):
     """Full DP train step over an 8-device mesh (virtual CPU devices)."""
     assert len(jax.devices()) == 8
@@ -103,6 +107,7 @@ def test_sharded_train_step_8dev(rng):
     assert leaf.sharding.is_fully_replicated
 
 
+@pytest.mark.slow
 def test_trainer_fit_one_epoch(rng, tmp_path):
     scene = _scene(rng)
     model = make_baseline()
@@ -169,6 +174,7 @@ def test_monitor_typo_raises(rng, tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_preemption_mid_eval_saves_unscored(rng, tmp_path):
     """SIGTERM during the val pass → the eval loop stops early and the
     emergency checkpoint saves UNSCORED (partial metrics must not enter
@@ -213,6 +219,7 @@ def test_preemption_mid_eval_saves_unscored(rng, tmp_path):
     assert signal.getsignal(signal.SIGTERM) is signal.SIG_DFL
 
 
+@pytest.mark.slow
 def test_training_is_deterministic(rng):
     """Fixed seeds ⇒ bit-identical parameters after several steps."""
     scene = _scene(rng)
@@ -232,6 +239,7 @@ def test_training_is_deterministic(rng):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_preemption_saves_and_returns(rng, tmp_path):
     """SIGTERM mid-epoch → in-flight step completes, an emergency
     checkpoint lands (kept by the pruner), fit returns cleanly, and a
@@ -290,6 +298,7 @@ def test_preemption_saves_and_returns(rng, tmp_path):
     assert int(resumed.step) == 2
 
 
+@pytest.mark.slow
 def test_grad_accumulation_matches_big_batch(rng):
     """accum_steps=2 over two stacked half-batches must produce the SAME
     parameters as one step on the concatenated batch: with equal micro
@@ -396,6 +405,7 @@ def test_group_microbatches_buckets_and_partials(rng):
     ]
 
 
+@pytest.mark.slow
 def test_compiled_shape_count_bounded_under_bucketing_and_accum(rng):
     """Executable-count bound (VERDICT r2 item #9): streaming mixed bucket
     shapes through ``group_microbatches`` + the accumulated train step must

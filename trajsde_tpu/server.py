@@ -22,12 +22,16 @@ this framework adds.  It wraps either serving engine —
   device dispatch (PyG DataLoader has no serving analog);
 - **latency accounting**: per-request submit→result wall times, batch
   occupancy, p50/p99 (``stats()``);
-- **multi-chip data parallelism** (``shard=True``): each padded bucket is
-  placed scene-sharded over a per-bucket data mesh
+- **multi-chip data parallelism** (``shard=True``): the scan engine
+  places each padded bucket scene-sharded over a per-bucket data mesh
   (:func:`trajsde_tpu.parallel.mesh.make_mesh_for_batch`) and the jitted
-  scan forward is partitioned by GSPMD — params replicate, activations
-  split, results gather back on the host.  Scan engine only: the Pallas
-  kernel is an opaque custom call the partitioner cannot split.
+  forward is partitioned by GSPMD — params replicate, activations split,
+  results gather back on the host.  The kernel engine's Pallas rollout is
+  an opaque custom call GSPMD cannot split, so it is instead wrapped in
+  ``shard_map`` over the flattened ``B·F·A`` row axis (the rollout's
+  natural parallel axis — even a 1-scene bucket fans out over all chips
+  whose count divides the rows); see
+  :func:`trajsde_tpu.serving.make_serving_fn`.
 
 Single-scene use is ``predict([raw_scene])``; concurrent producers use
 ``submit(raw_scene) -> Future``.  Raw scenes are preprocessor-output
@@ -163,14 +167,11 @@ class ServingEngine:
         if engine == "auto":
             from trajsde_tpu.models.decoders import SDEDecoder
 
-            # sharded serving partitions the jitted scan forward with GSPMD
-            # (the Pallas kernel is an opaque custom call XLA cannot split);
             # non-SDE decoders have no latent rollout for the kernel to fuse
             engine = (
                 "kernel"
                 if (
-                    not shard
-                    and jax.default_backend() == "tpu"
+                    jax.default_backend() == "tpu"
                     and isinstance(model.decoder, SDEDecoder)
                     and getattr(model.decoder, "sde_layers", 2) == 2
                 )
@@ -178,11 +179,11 @@ class ServingEngine:
             )
         if engine not in ("kernel", "scan", "exported"):
             raise ValueError(f"unknown serving engine {engine!r}")
-        if shard and engine != "scan":
+        if shard and engine == "exported":
             raise ValueError(
-                "shard=True requires the 'scan' engine: the Pallas serving "
-                "kernel and deserialized export artifacts are opaque calls "
-                "the SPMD partitioner cannot split across devices"
+                "shard=True cannot partition a deserialized export artifact "
+                "(an opaque StableHLO call); re-export per topology or use "
+                "the 'scan'/'kernel' engines"
             )
         self.engine = engine
         self.num_actors = num_actors
@@ -212,14 +213,19 @@ class ServingEngine:
             self._kd_shape = jax.random.key_data(jax.random.key(0)).shape
         # data-parallel serving: shard each bucket over the data mesh (per
         # bucket, since the gcd device count depends on the batch size);
-        # XLA splits the whole forward across chips, results gather back
+        # XLA splits the whole forward across chips, results gather back.
+        # The kernel engine shards over the flattened B·F·A ROW axis
+        # instead (the rollout's natural parallel axis — every bucket uses
+        # all devices whose count divides the rows, even bucket 1), so its
+        # meshes are keyed by rows, not scenes.
         self._meshes = {}
         if shard:
             from trajsde_tpu.parallel import mesh as mesh_lib
 
             self._mesh_lib = mesh_lib
-            for b in self.buckets:
-                self._meshes[b] = mesh_lib.make_mesh_for_batch(b)
+            if engine != "kernel":
+                for b in self.buckets:
+                    self._meshes[b] = mesh_lib.make_mesh_for_batch(b)
 
         # forward + world-frame postprocess fuse into ONE jitted pipeline:
         # a served batch costs exactly one device dispatch (each dispatch
@@ -234,21 +240,40 @@ class ServingEngine:
 
             dec = model.decoder
             self._kdims = (dec.future_steps, dec.num_modes, dec.local_channels)
-            base = make_serving_fn(
-                model,
-                {"params": params},
-                interpret=jax.default_backend() != "tpu",
-                increments=increments,
-            )
             post = make_postprocess(self.is_gtabs, self._ref_time)
 
-            @jax.jit
-            def _kserve(scene, key_data, seed, noise):
-                out = base(scene, jax.random.wrap_key_data(key_data), seed,
-                           noise)
-                return post(scene, out)
+            def _make_kserve(mesh):
+                base = make_serving_fn(
+                    model,
+                    {"params": params},
+                    interpret=jax.default_backend() != "tpu",
+                    increments=increments,
+                    mesh=mesh,
+                )
 
-            self._serve = _kserve
+                @jax.jit
+                def _kserve(scene, key_data, seed, noise):
+                    out = base(scene, jax.random.wrap_key_data(key_data),
+                               seed, noise)
+                    return post(scene, out)
+
+                return _kserve
+
+            if shard:
+                # one serve fn per distinct row mesh (buckets with the same
+                # divisor share one); jit still retraces per bucket shape
+                self._kserves = {}
+                by_ndev: Dict[int, Any] = {}
+                Tf, K, A = self._kdims[0], self._kdims[1], num_actors
+                for b in self.buckets:
+                    m = self._mesh_lib.make_mesh_for_batch(b * K * A)
+                    n = m.devices.size
+                    if n not in by_ndev:
+                        by_ndev[n] = _make_kserve(m)
+                    self._kserves[b] = by_ndev[n]
+                self._serve = None
+            else:
+                self._serve = _make_kserve(None)
         else:
             self._params = params
             post = make_postprocess(self.is_gtabs, self._ref_time)
@@ -407,7 +432,8 @@ class ServingEngine:
                 ).standard_normal(
                     (Tf, bucket * K * self.num_actors, D), np.float32
                 )
-            post = jax.device_get(self._serve(scene, kd, seed, noise))
+            serve = self._serve if self._serve is not None else self._kserves[bucket]
+            post = jax.device_get(serve(scene, kd, seed, noise))
         else:
             post = jax.device_get(self._serve(scene, kd))
         if record:

@@ -24,6 +24,7 @@ def make_serving_fn(
     interpret: bool = False,
     unroll: int = 10,
     increments: str = "rademacher",
+    mesh=None,
 ):
     """Build ``serve(scene, key, seed) -> output dict`` (jitted).
 
@@ -36,6 +37,18 @@ def make_serving_fn(
     (2.94 ms vs 4.9 ms for 20480 rows × 60 steps).  Use
     ``increments='gaussian'`` for exact-path-law sampling (the XLA scan is
     the better engine for that regime).
+
+    ``mesh`` (optional, 1-axis) runs the rollout kernel data-parallel:
+    the Pallas call is an opaque custom call the SPMD partitioner cannot
+    split, so it is wrapped in ``shard_map`` over the flattened ``B·F·A``
+    row axis — each device rolls out its row block in its own VMEM; the
+    encoder/aggregator/heads stay on the GSPMD path.  The mesh's device
+    count must divide ``B·F·A`` (``mesh.make_mesh_for_batch(rows)``
+    picks the largest such count).  With explicit ``noise`` the sharded
+    result equals the unsharded one exactly (rows are just split); with
+    the on-core PRNG each shard folds its ``axis_index`` into the seed —
+    a different but identically distributed path sample per shard count,
+    the same property as micro-batch grouping changing the key stream.
     """
     from trajsde_tpu.models.decoders import SDEDecoder
 
@@ -60,26 +73,49 @@ def make_serving_fn(
     t0s, dts = decoder.time_grid()
     Tf = decoder.future_steps
 
+    def _rollout(y0r, seed, noise):
+        kw = dict(num_steps=Tf, block_rows=block_rows, interpret=interpret,
+                  unroll=unroll, increments=increments)
+        if mesh is None:
+            return sde_rollout(y0r, kp, t0s, dts, seed, noise=noise, **kw)
+
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        axis = mesh.axis_names[0]
+
+        def _shard(y0s, seed_, noise_s):
+            # decorrelate shards: each kernel call numbers its row tiles
+            # from 0, so identical seeds would make every shard replay the
+            # SAME on-core increment stream (correlated futures); folding
+            # the shard index in gives independent streams (_step_seed's
+            # avalanche decorrelates the arithmetic progression)
+            sseed = seed_ + jax.lax.axis_index(axis) * jnp.int32(0x7F4A7C15)
+            return sde_rollout(y0s, kp, t0s, dts, sseed, noise=noise_s, **kw)
+
+        shmap = lambda f, in_specs: shard_map(
+            f, mesh=mesh, in_specs=in_specs, out_specs=P(None, axis),
+            check_vma=False,
+        )
+        if noise is None:
+            return shmap(
+                lambda y0s, s: _shard(y0s, s, None), (P(axis), P())
+            )(y0r, seed)
+        # explicit noise [T, rows, D] splits by rows — sharded == unsharded
+        return shmap(_shard, (P(axis), P(), P(None, axis)))(y0r, seed, noise)
+
     def method(m, scene: SceneBatch, seed, noise):
         enc_out = m.encoder(scene, True)
         local = enc_out[0] if isinstance(enc_out, tuple) else enc_out
         glob = m.aggregator(scene, local, True)
         y0 = m.decoder.fuse(scene, local, glob)
         B, F, A, D = y0.shape
-        sol = sde_rollout(
+        sol = _rollout(
             # the kernel state is f32 regardless of the model's compute
             # dtype (mixed-precision models produce bf16 fusion output)
             y0.reshape(-1, D).astype(jnp.float32),
-            kp,
-            t0s,
-            dts,
             seed,
-            num_steps=Tf,
-            block_rows=block_rows,
-            interpret=interpret,
-            noise=noise,
-            unroll=unroll,
-            increments=increments,
+            noise,
         )
         sol = jnp.transpose(sol.reshape(Tf, B, F, A, D), (1, 2, 3, 0, 4))
         out = m.decoder.decode(scene, sol, local, glob)
