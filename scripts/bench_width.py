@@ -92,10 +92,14 @@ def measure(model, scene, iters, tag):
             lambda a, b: a + jnp.sum(b), st.params, 0.0
         )
 
+    # cost analysis must target ONE step: XLA does not multiply fori_loop
+    # trip counts, so lowering `run` would understate FLOPs by ITERS
+    # (bench.py does the same — VERDICT r1 item 3 methodology)
+    step_cost = jax.jit(step).lower(state, scene).compile().cost_analysis() or {}
+    flops = float(step_cost.get("flops", float("nan"))) * iters
+
     lowered = run.lower(state, scene)
     compiled = lowered.compile()
-    cost = compiled.cost_analysis() or {}
-    flops = float(cost.get("flops", float("nan")))  # all ITERS steps
     mem = compiled.memory_analysis()
     temp_mib = getattr(mem, "temp_size_in_bytes", 0) / 2**20
 
@@ -113,24 +117,29 @@ def measure(model, scene, iters, tag):
 def part_width():
     from __graft_entry__ import _scene
 
-    b, a, l = SHAPES["bench"]
-    scene = jax.device_put(_scene(b, a, l))
-    n_params_ref = None
+    b0, a, l = SHAPES["bench"]
     for D in (64, 128, 256):
-        try:
-            model = build_flagship_width(D)
-            ms, flops_per_s, temp_mib = measure(
-                model, scene, SHAPES["iters"], tag=f"D{D}"
-            )
-            report(f"width/D{D}", {
-                "ms_per_step": round(ms, 2),
-                "scenes_per_s": round(b * 1000.0 / ms, 1),
-                "achieved_tflops": round(flops_per_s / 1e12, 2),
-                "mfu": round(flops_per_s / PEAK_BF16, 4),
-                "temp_MiB": round(temp_mib, 1),
-            })
-        except Exception as e:  # OOM etc. — record honestly
-            report(f"width/D{D}_ERROR", repr(e)[:300])
+        # wider activations can overflow HBM / the remote compile helper
+        # at full batch; fall back to smaller batches so the MFU-vs-width
+        # trend is still measured (MFU is per-FLOP, batch-comparable)
+        for b in (b0, b0 // 2, b0 // 4):
+            try:
+                scene = jax.device_put(_scene(b, a, l))
+                model = build_flagship_width(D)
+                ms, flops_per_s, temp_mib = measure(
+                    model, scene, SHAPES["iters"], tag=f"D{D}/B{b}"
+                )
+                report(f"width/D{D}", {
+                    "batch": b,
+                    "ms_per_step": round(ms, 2),
+                    "scenes_per_s": round(b * 1000.0 / ms, 1),
+                    "achieved_tflops": round(flops_per_s / 1e12, 2),
+                    "mfu": round(flops_per_s / PEAK_BF16, 4),
+                    "temp_MiB": round(temp_mib, 1),
+                })
+                break
+            except Exception as e:  # OOM etc. — record honestly
+                report(f"width/D{D}_B{b}_ERROR", repr(e)[:300])
 
 
 def main():
