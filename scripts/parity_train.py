@@ -11,14 +11,23 @@ tiny synthetic dataset and records metric trajectories:
   torch-native Brownian draws — the same scheme the reference's forked
   solver implements), trained with torch.optim.AdamW.
 
-Both see the SAME scene sequence (B=1 graphs, so the masked-mean loss
-denominators match exactly); Brownian/dropout draws are each stack's own,
-so agreement is expected at the METRIC level (the ±1% north-star is
-defined there — SURVEY §6 "evaluation-order nondeterminism").
+Both see the SAME scene groups: with ``--batch B`` the jax side trains on
+padded dense [B, A] batches while the torch side trains on exactly-sized
+PyG-style mega-graphs of the same scenes (``TemporalData.__inc__``
+batching), so the global masked-mean loss denominators match even with
+``--ragged`` per-scene actor counts.  Brownian/dropout draws are each
+stack's own, so agreement is expected at the METRIC level (the ±1%
+north-star is defined there — SURVEY §6 "evaluation-order
+nondeterminism").
+
+``--dims shipped`` runs the flagship architecture (D=64 / 8 heads /
+TH=21 / TF=60 / K=10 — the reference-dims grad-parity configuration).
 
 Writes PARITY_TRAIN.json and prints a markdown table for PARITY.md.
 
 Usage: python scripts/parity_train.py [--steps 180] [--eval-every 30]
+       python scripts/parity_train.py --dims shipped --batch 2 --ragged \
+           --steps 200 --eval-every 50 --out PARITY_TRAIN_shipped.json
 """
 import argparse
 import json
@@ -46,7 +55,6 @@ from test_reference_grad_parity import (
     _bind_aggregator,
     _bind_sde_decoder,
     _bind_sde_encoder,
-    _torch_data,
     _ref,
 )
 from trajsde_tpu.data.scene import SceneBatch, rotate_into
@@ -55,19 +63,34 @@ from trajsde_tpu.models.aggregator import GlobalInteractor
 from trajsde_tpu.models.decoders import SDEDecoder
 from trajsde_tpu.models.sde_encoder import LocalEncoderSDESep
 
-# tiny shared config
+# tiny shared config (--dims shipped overrides to the flagship architecture)
 A, TH, TF, D, H, F = 4, 5, 8, 16, 4, 2
+MAX_PAST_T, MAX_FUT_T, DEC_MIN_STEP = 0.4, 2.0, 0.25
 RADIUS = 60.0
 LR, WD = 1e-3, 1e-4
 END_IDCS = [TF - 1, TF // 2 - 1]  # nuScenes / Argoverse end slots on the TF grid
 
+DIMS = {
+    # A is A_max (the padded actor capacity; --ragged varies valid counts)
+    "tiny": dict(A=4, TH=5, TF=8, D=16, H=4, F=2,
+                 max_past_t=0.4, max_fut_t=2.0, dec_min_step=0.25),
+    # the shipped architecture: D=64 / 8 heads / 21 segments / 60 steps /
+    # K=10 — the same config the reference-dims grad-parity test pins
+    # (tests/test_reference_grad_parity.py "reference-dims")
+    "shipped": dict(A=6, TH=21, TF=60, D=64, H=8, F=10,
+                    max_past_t=2.0, max_fut_t=6.0, dec_min_step=0.1),
+}
 
-def gen_scene(rng: np.random.Generator, source: int) -> SceneBatch:
-    """One learnable constant-velocity-plus-noise scene (all slots valid)."""
+
+def gen_scene(rng: np.random.Generator, source: int, n_actors: int = None) -> tuple:
+    """One learnable constant-velocity-plus-noise scene, padded to ``A``
+    actor slots with ``n_actors`` valid (agent = slot 0 always valid).
+    Returns ``(SceneBatch, n_actors)``."""
+    n = A if n_actors is None else int(n_actors)
     T = TH + TF
     pos = np.zeros((1, A, T, 2), np.float32)
     angles = np.zeros((1, A), np.float32)
-    for a in range(A):
+    for a in range(n):
         p0 = rng.uniform(-20, 20, 2).astype(np.float32)
         vel = rng.uniform(-6, 6, 2).astype(np.float32)
         t_axis = (np.arange(T) - (TH - 1)) * 0.1
@@ -78,8 +101,11 @@ def gen_scene(rng: np.random.Generator, source: int) -> SceneBatch:
     x = pos[:, :, :TH] - ref[:, :, None]
     y = pos[:, :, TH:] - ref[:, :, None]
     padding = np.zeros((1, A, T), bool)
+    padding[:, n:] = True  # padded slots: no observations anywhere
     bos = np.zeros((1, A, TH), bool)
-    bos[:, :, 0] = True
+    bos[:, :n, 0] = True
+    valid = np.zeros((1, A), bool)
+    valid[:, :n] = True
     lane_pos = np.zeros((1, 4, 5, 2), np.float32)
     lane_pad = np.zeros((1, 4, 5), bool)
     for l in range(4):
@@ -87,13 +113,13 @@ def gen_scene(rng: np.random.Generator, source: int) -> SceneBatch:
         d = rng.uniform(-np.pi, np.pi)
         dvec = np.array([np.cos(d), np.sin(d)], np.float32)
         lane_pos[0, l] = start[None] + dvec[None] * np.arange(5, dtype=np.float32)[:, None]
-    return SceneBatch(
+    scene = SceneBatch(
         x=jnp.asarray(x),
         positions=jnp.asarray(pos),
         padding_mask=jnp.asarray(padding),
         bos_mask=jnp.asarray(bos),
         rotate_angles=jnp.asarray(angles),
-        actor_valid=jnp.ones((1, A), bool),
+        actor_valid=jnp.asarray(valid),
         agent_index=jnp.zeros((1,), jnp.int32),
         av_index=jnp.zeros((1,), jnp.int32),
         source=jnp.full((1,), source, jnp.int32),
@@ -102,6 +128,86 @@ def gen_scene(rng: np.random.Generator, source: int) -> SceneBatch:
         lane_paddings=jnp.asarray(lane_pad),
         lane_valid=jnp.ones((1, 4), bool),
     )
+    return scene, n
+
+
+def pack_group(scenes) -> SceneBatch:
+    """Stack B per-scene SceneBatches (each [1, A, ...]) into one [B, A, ...]
+    padded batch — the dense analog of the reference's PyG mega-graph."""
+    import jax as _jax
+
+    return _jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *scenes)
+
+
+def _torch_data_mega(scene_ns, radius):
+    """The reference's PyG ``Batch`` analog: concatenate the VALID actors of
+    B scenes into ONE mega-graph with offset edge / lane-actor indices —
+    the ``TemporalData.__inc__`` batching semantics
+    (``models/utils/util.py:67-75``) the reference trains on.  Includes the
+    per-scene rotated targets as ``y`` (``model_base_mix_sde.py:83-84``)."""
+    from test_reference_grad_parity import _TData
+    from trajsde_tpu.models import graph
+
+    xs, poss, pads, boss, rots, angs, ys = [], [], [], [], [], [], []
+    eis, batch, agent_idx, sources = [], [], [], []
+    lane_pos, lane_pad = [], []
+    al_src, al_dst, al_vecs = [], [], []
+    o = 0       # actor offset
+    lo = 0      # lane offset
+    for b, (scene, n) in enumerate(scene_ns):
+        angles = np.asarray(scene.rotate_angles)[0, :n]
+        c, s = np.cos(angles), np.sin(angles)
+        R = np.stack([np.stack([c, -s], -1), np.stack([s, c], -1)], -2).astype(
+            np.float32
+        )
+        xs.append(np.asarray(scene.x)[0, :n])
+        poss.append(np.asarray(scene.positions)[0, :n])
+        pads.append(np.asarray(scene.padding_mask)[0, :n])
+        boss.append(np.asarray(scene.bos_mask)[0, :n])
+        rots.append(R)
+        angs.append(angles)
+        y = np.asarray(scene.y)[0, :n]
+        ys.append(np.einsum("atj,aji->ati", y, R))
+        eis.extend(
+            [j + o, i + o] for i in range(n) for j in range(n) if i != j
+        )
+        batch.extend([b] * n)
+        agent_idx.append(o)
+        sources.append(int(np.asarray(scene.source)[0]))
+        lp = np.asarray(scene.lane_positions)[0]
+        lane_pos.append(lp)
+        lane_pad.append(np.asarray(scene.lane_paddings)[0].astype(np.float32))
+        al_mask, al_vec = jax.device_get(graph.al_edges(scene, TH - 1, radius))
+        for i in range(n):
+            for j in range(al_mask.shape[2]):
+                if al_mask[0, i, j]:
+                    al_src.append(j + lo)
+                    al_dst.append(i + o)
+                    al_vecs.append(al_vec[0, i, j])
+        o += n
+        lo += lp.shape[0]
+    cat = lambda parts: torch.from_numpy(np.concatenate(parts, axis=0))
+    return _TData({
+        "x": cat(xs),
+        "positions": cat(poss),
+        "padding_mask": cat(pads),
+        "bos_mask": cat(boss),
+        "rotate_mat": cat(rots),
+        "rotate_angles": cat(angs),
+        "y": cat(ys),
+        "agent_index": torch.tensor(agent_idx, dtype=torch.long),
+        "source": torch.tensor(sources, dtype=torch.long),
+        "batch": torch.tensor(batch, dtype=torch.long),
+        "edge_index": torch.tensor(eis, dtype=torch.long).t().contiguous()
+        if eis else torch.zeros((2, 0), dtype=torch.long),
+        "num_nodes": o,
+        "lane_positions": cat(lane_pos),
+        "lane_paddings": cat(lane_pad),
+        "lane_actor_index": torch.tensor([al_src, al_dst], dtype=torch.long),
+        "lane_actor_vectors": torch.from_numpy(
+            np.asarray(al_vecs, np.float32).reshape(len(al_src), 2)
+        ),
+    })
 
 
 def minade_minfde(pred, target, source):
@@ -119,12 +225,31 @@ def minade_minfde(pred, target, source):
 
 
 def main():
+    global A, TH, TF, D, H, F, MAX_PAST_T, MAX_FUT_T, DEC_MIN_STEP, END_IDCS
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=180)
     ap.add_argument("--dropout", type=float, default=0.1)
     ap.add_argument("--eval-every", type=int, default=30)
     ap.add_argument("--n-train", type=int, default=60)
     ap.add_argument("--n-val", type=int, default=16)
+    ap.add_argument(
+        "--dims", choices=sorted(DIMS), default="tiny",
+        help="'shipped' runs the flagship architecture (D=64/H=8/TH=21/"
+        "TF=60/K=10) — VERDICT r3 item #1",
+    )
+    ap.add_argument(
+        "--batch", type=int, default=1,
+        help="scenes per training step: >1 exercises the mega-graph batch "
+        "loss reduction (one global masked mean over every valid "
+        "actor-step cell, losses/L2.py:22-26) on both stacks",
+    )
+    ap.add_argument(
+        "--ragged", action="store_true",
+        help="vary the valid actor count per scene in [2, A]: the padded "
+        "dense batch must reproduce the reference's exactly-sized PyG "
+        "mega-graph on ragged scenes",
+    )
     ap.add_argument(
         "--seed", type=int, default=0,
         help="training-noise seed offset: dataset, transplanted init and "
@@ -136,14 +261,25 @@ def main():
     args = ap.parse_args()
     soff = args.seed * 1_000_003  # decorrelate the per-seed noise streams
 
+    dims = DIMS[args.dims]
+    A, TH, TF, D, H, F = (dims[k] for k in ("A", "TH", "TF", "D", "H", "F"))
+    MAX_PAST_T, MAX_FUT_T, DEC_MIN_STEP = (
+        dims["max_past_t"], dims["max_fut_t"], dims["dec_min_step"]
+    )
+    END_IDCS = [TF - 1, TF // 2 - 1]
+
     rng = np.random.default_rng(0)
-    train_scenes = [gen_scene(rng, s % 2) for s in range(args.n_train)]
-    val_scenes = [gen_scene(rng, s % 2) for s in range(args.n_val)]
+
+    def n_actors():
+        return int(rng.integers(2, A + 1)) if args.ragged else A
+
+    train_scenes = [gen_scene(rng, s % 2, n_actors()) for s in range(args.n_train)]
+    val_scenes = [gen_scene(rng, s % 2, n_actors()) for s in range(args.n_val)]
 
     # ---------------- JAX stack -------------------------------------------
     enc = LocalEncoderSDESep(
         historical_steps=TH, embed_dim=D, num_heads=H, ref_time=TH - 1,
-        max_past_t=0.4, minimum_step=0.1, local_radius=RADIUS,
+        max_past_t=MAX_PAST_T, minimum_step=0.1, local_radius=RADIUS,
         dropout=args.dropout,
     )
     agg = GlobalInteractor(
@@ -152,9 +288,9 @@ def main():
     )
     dec = SDEDecoder(
         local_channels=D, global_channels=D, future_steps=TF, num_modes=F,
-        max_fut_t=2.0,
+        max_fut_t=MAX_FUT_T,
     )
-    scene0 = train_scenes[0]
+    scene0 = pack_group([s for s, _ in train_scenes[: args.batch]])
     k = jax.random.key(0)
     enc_p = enc.init({"params": k, "sde": jax.random.key(1)}, scene0)["params"]
     local0 = enc.apply({"params": enc_p}, scene0, rngs={"sde": jax.random.key(1)})[0]
@@ -200,7 +336,7 @@ def main():
 
     def eval_jax(p):
         ades, fdes = [], []
-        for i, scene in enumerate(val_scenes):
+        for i, (scene, _n) in enumerate(val_scenes):
             for s in range(EVAL_DRAWS):
                 o = eval_fwd(p, scene, jax.random.key(10_000 + i * 17 + s))
                 ai = int(scene.agent_index[0])
@@ -246,7 +382,7 @@ def main():
     ref_enc = enc_mod.LocalEncoderSDESepPara2(
         historical_steps=TH, embed_dim=D, num_heads=H, dropout=args.dropout,
         local_radius=RADIUS, node_dim=2, edge_dim=2, parallel=True,
-        ref_time=TH - 1, max_past_t=0.4, minimum_step=0.1,
+        ref_time=TH - 1, max_past_t=MAX_PAST_T, minimum_step=0.1,
         run_backwards=True, sde_layers=2, method="euler",
         rtol=1e-3, atol=1e-3, input_diff=True,
     )
@@ -256,7 +392,7 @@ def main():
     )
     ref_dec = dec_mod.SDEDecoder(
         local_channels=D, global_channels=D, future_steps=TF, num_modes=F,
-        max_fut_t=2.0, uncertain=True, min_scale=1e-3, min_stepsize=0.25,
+        max_fut_t=MAX_FUT_T, uncertain=True, min_scale=1e-3, min_stepsize=DEC_MIN_STEP,
         method="euler", rtol=1e-3, atol=1e-3, ode_func_layers=3,
     )
     b = Binder()
@@ -277,7 +413,7 @@ def main():
     ref_enc2 = enc_mod.LocalEncoderSDESepPara2(
         historical_steps=TH, embed_dim=D, num_heads=H, dropout=args.dropout,
         local_radius=RADIUS, node_dim=2, edge_dim=2, parallel=True,
-        ref_time=TH - 1, max_past_t=0.4, minimum_step=0.1,
+        ref_time=TH - 1, max_past_t=MAX_PAST_T, minimum_step=0.1,
         run_backwards=True, sde_layers=2, method="euler",
         rtol=1e-3, atol=1e-3, input_diff=True,
     )
@@ -287,7 +423,7 @@ def main():
     )
     ref_dec2 = dec_mod.SDEDecoder(
         local_channels=D, global_channels=D, future_steps=TF, num_modes=F,
-        max_fut_t=2.0, uncertain=True, min_scale=1e-3, min_stepsize=0.25,
+        max_fut_t=MAX_FUT_T, uncertain=True, min_scale=1e-3, min_stepsize=DEC_MIN_STEP,
         method="euler", rtol=1e-3, atol=1e-3, ode_func_layers=3,
     )
     b2 = Binder()
@@ -305,15 +441,12 @@ def main():
 
     t_datas = {}
 
-    def torch_data(idx, scene):
+    def torch_data(idx, scene_ns):
+        """Mega-graph data for a list of (scene, n_valid) pairs — the B=1
+        case degenerates to the original single-scene construction."""
         if idx not in t_datas:
-            t_datas[idx] = _torch_data(scene, RADIUS)
-        d = t_datas[idx]
-        rot = d["rotate_mat"]
-        y = torch.from_numpy(np.asarray(scene.y)[0])
-        d._d["y"] = torch.bmm(y, rot)  # model_base_mix_sde.py:83-84
-        d.__dict__["y"] = d._d["y"]
-        return d
+            t_datas[idx] = _torch_data_mega(scene_ns, RADIUS)
+        return t_datas[idx]
 
     def torch_forward(data, enc_m=None, agg_m=None, dec_m=None):
         enc_m, agg_m, dec_m = enc_m or ref_enc, agg_m or ref_agg, dec_m or ref_dec
@@ -329,12 +462,12 @@ def main():
         enc_m.eval(), agg_m.eval(), dec_m.eval()
         ades, fdes = [], []
         with torch.no_grad():
-            for i, scene in enumerate(val_scenes):
-                data = torch_data(("val", i), scene)
+            for i, (scene, n) in enumerate(val_scenes):
+                data = torch_data(("val", i), [(scene, n)])
                 for s in range(EVAL_DRAWS):
                     torch.manual_seed(20_000 + i * 17 + s)
                     o = torch_forward(data, enc_m, agg_m, dec_m)
-                    ai = int(scene.agent_index[0])
+                    ai = 0  # single-scene mega graph: agent is row 0
                     pred = o["loc"][:, ai, :, :2].numpy()
                     target = data["y"][ai].numpy()
                     a, f = minade_minfde(pred, target, int(scene.source[0]))
@@ -355,9 +488,20 @@ def main():
     params_rep, opt_state_rep = params, opt.init(params)
     key_rep = jax.random.key(4242 + soff)
 
+    # training groups: B consecutive scenes per step, cycling the dataset;
+    # the jax side packs them into one padded [B, A] batch, the torch side
+    # into one exactly-sized PyG-style mega-graph — the SAME grouping, so
+    # the mega-graph global masked-mean loss denominators match
+    n_groups = max(1, len(train_scenes) // args.batch)
+    groups = [
+        train_scenes[g * args.batch : (g + 1) * args.batch]
+        for g in range(n_groups)
+    ]
+    packed_groups = [pack_group([s for s, _ in g]) for g in groups]
+
     # warm-up compile (functional: discarding the outputs leaves the run
     # untouched) so ms/step measures steady-state, not XLA compilation
-    train_step(params, opt_state, train_scenes[0], key)
+    train_step(params, opt_state, packed_groups[0], key)
 
     def record(step):
         ja, jf = eval_jax(params)
@@ -378,30 +522,31 @@ def main():
 
     record(0)
     for step in range(1, args.steps + 1):
-        scene = train_scenes[(step - 1) % len(train_scenes)]
+        gi = (step - 1) % n_groups
+        packed = packed_groups[gi]
 
         t0 = time.perf_counter()
         key, sub = jax.random.split(key)
-        params, opt_state, jl = train_step(params, opt_state, scene, sub)
+        params, opt_state, jl = train_step(params, opt_state, packed, sub)
         jl = float(jl)
         jt_time += time.perf_counter() - t0
         jl_acc.append(jl)
 
         key_rep, sub_rep = jax.random.split(key_rep)
         params_rep, opt_state_rep, _ = train_step(
-            params_rep, opt_state_rep, scene, sub_rep
+            params_rep, opt_state_rep, packed, sub_rep
         )
 
         t0 = time.perf_counter()
         torch.manual_seed(1_000 + step + soff)
-        data = torch_data(("train", (step - 1) % len(train_scenes)), scene)
+        data = torch_data(("train", gi), groups[gi])
         o = torch_forward(data)
         tl = t_l2({"y": data["y"]}, o) + t_bce({"y": data["y"]}, o)
         t_opt.zero_grad()
         tl.backward()
         t_opt.step()
         tt_time += time.perf_counter() - t0
-        tl_acc.append(float(tl))
+        tl_acc.append(float(tl.detach()))
 
         torch.manual_seed(700_000 + step + soff)
         o2 = torch_forward(data, ref_enc2, ref_agg2, ref_dec2)
@@ -435,7 +580,9 @@ def main():
         "config": {
             "A": A, "TH": TH, "TF": TF, "D": D, "F": F, "steps": args.steps,
             "n_train": args.n_train, "n_val": args.n_val, "lr": LR, "wd": WD,
-            "seed": args.seed,
+            "seed": args.seed, "dims": args.dims, "batch": args.batch,
+            "ragged": bool(args.ragged),
+            "valid_actor_counts_train": [n for _, n in train_scenes],
         },
         "history": history,
         "final_rel_delta": rel,

@@ -187,7 +187,12 @@ def _torch_data(scene, radius):
         "rotate_mat": torch.from_numpy(R),
         "rotate_angles": torch.from_numpy(angles),
         "agent_index": torch.tensor([0], dtype=torch.long),
-        "source": torch.tensor([0], dtype=torch.long),
+        # the scene's actual source: the encoder routes actors between
+        # g_nus/g_argo by ``data.source`` (enc_hivt_nusargo_sde_sep2.py:73-74)
+        # — a hardcoded 0 here silently nus-routed every Argoverse scene in
+        # the tier-4 training campaigns (the grad-parity tests all use
+        # source-0 scenes, so they were unaffected)
+        "source": torch.tensor([int(np.asarray(scene.source)[0])], dtype=torch.long),
         "batch": torch.zeros(A, dtype=torch.long),
         "edge_index": ei,
         "num_nodes": A,
