@@ -29,6 +29,10 @@ BATCH, ACTORS, LANES = 128, 32, 64
 PROD_BATCH, PROD_ACTORS, PROD_LANES = 128, 48, 192
 ITERS = 20
 PROD_ITERS = 10
+if os.environ.get("TRAJSDE_BENCH_TINY"):  # CPU smoke of the full script
+    BATCH, ACTORS, LANES = 4, 6, 8
+    PROD_BATCH, PROD_ACTORS, PROD_LANES = 4, 6, 8
+    ITERS = PROD_ITERS = 2
 BASELINE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_BASELINE.json")
 
 
@@ -235,6 +239,64 @@ def main() -> None:
         record["serving_scenes_per_sec"] = round(BATCH * ITERS / sdt, 1)
     except Exception as e:
         record["serving_error"] = repr(e)[:200]
+
+    # end-to-end training throughput: packed-shard loader → threaded
+    # device_prefetch → per-batch train step at production capacity (the
+    # real pipeline a user runs, VERDICT r3 item #3).  Steps dispatch
+    # individually (no fori_loop chaining): the measured quantity IS the
+    # host/loader/transfer overlap, closed per step by the loss fetch.
+    try:
+        import shutil
+        import tempfile
+
+        from trajsde_tpu.data.loader import BatchLoader, NuArgoDataset
+        from trajsde_tpu.data.shards import convert_npz_dir
+        from trajsde_tpu.data.synthetic import make_raw_scene
+        from trajsde_tpu.train.loop import device_prefetch
+
+        E2E_STEPS = 4 if os.environ.get("TRAJSDE_BENCH_TINY") else 16
+        rng = np.random.default_rng(0)
+        with tempfile.TemporaryDirectory() as tmp:
+            raw_dir = os.path.join(tmp, "raw", "Argoverse", "train")
+            os.makedirs(raw_dir)
+            for i in range(PROD_BATCH * (E2E_STEPS + 4)):
+                # one domain per directory tree (its shard files pack
+                # homogeneous per-domain step counts, data/shards.py)
+                raw = make_raw_scene(rng, 1, num_actors=40, num_lanes=160)
+                np.savez(os.path.join(raw_dir, f"s{i:05d}.npz"), **raw)
+            shard_dir = os.path.join(tmp, "shards", "Argoverse", "train")
+            convert_npz_dir(raw_dir, shard_dir)
+            shutil.rmtree(raw_dir)
+            ds = NuArgoDataset(
+                "train", argo_dir=os.path.dirname(shard_dir), nus=False,
+                random_flip=True,
+            )
+            loader = BatchLoader(
+                ds, batch_size=PROD_BATCH, num_actors=PROD_ACTORS,
+                num_lanes=PROD_LANES, shuffle=True,
+            )
+            it = device_prefetch(iter(loader))
+            # warmup: executable already cached from the production segment
+            # (same B/A/L shape); first steps absorb any residual compile
+            # (params/opt state are shape-independent, so the bench state
+            # works if the production segment errored out early)
+            st = locals().get("prod_state", state)
+            for _ in range(3):
+                st, logs = step(st, next(it))
+            assert np.isfinite(float(logs["train/total"]))
+            t0 = time.perf_counter()
+            n = 0
+            for scene_b in it:
+                st, logs = step(st, scene_b)
+                n += 1
+                if n >= E2E_STEPS:
+                    break
+            assert np.isfinite(float(logs["train/total"]))  # closes timing
+            edt = time.perf_counter() - t0
+            record["e2e_ms_per_step"] = round(edt / n * 1000, 2)
+            record["e2e_scenes_per_sec"] = round(PROD_BATCH * n / edt, 1)
+    except Exception as e:
+        record["e2e_error"] = repr(e)[:200]
 
     print(json.dumps(record))
 

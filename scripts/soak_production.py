@@ -53,6 +53,8 @@ def generate(root: str, n_train: int, n_val: int, fmt: str) -> None:
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--fmt", choices=["npz", "shard"], default="shard")
+    p.add_argument("--chain", type=int, default=1,
+                   help="forwarded to train.py --chain (dispatch chaining)")
     p.add_argument("--epochs", type=int, default=3)
     p.add_argument("--train-scenes", type=int, default=1280)
     p.add_argument("--val-scenes", type=int, default=256)
@@ -87,6 +89,7 @@ def main() -> None:
                 sys.executable, "train.py", "-c", cfg_path,
                 "-n", "soak", "--logdir", run_root,
                 "--epochs", str(args.epochs), "--log-every", "2",
+                "--chain", str(args.chain),
             ],
             check=True,
             cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),

@@ -299,6 +299,50 @@ def test_preemption_saves_and_returns(rng, tmp_path):
 
 
 @pytest.mark.slow
+def test_chained_step_matches_sequential(rng):
+    """chain_steps=C scans C FULL optimizer updates in one dispatch; the
+    parameters must equal C sequential single-step calls exactly — the
+    key stream is identical (each inner update splits state.key the same
+    way), so this is the same math with C× fewer dispatches."""
+    from tests.test_models_forward import make_baseline
+
+    model = make_baseline()
+    b1 = make_scene_batch(
+        np.random.default_rng(5), batch_size=2, num_actors=6, num_lanes=8, sources=[0, 1]
+    )
+    b2 = make_scene_batch(
+        np.random.default_rng(6), batch_size=2, num_actors=6, num_lanes=8, sources=[0, 1]
+    )
+    opt = optax.adamw(1e-3)
+    state = create_train_state(model, opt, b1)
+    step1 = make_train_step(model, opt, [("L2", 1.0, l2_loss)], donate=False)
+    step_c = make_train_step(
+        model, opt, [("L2", 1.0, l2_loss)], donate=False, chain_steps=2
+    )
+
+    s_seq, l1 = step1(state, b1)
+    s_seq, l2 = step1(s_seq, b2)
+
+    stacked = jax.tree.map(lambda a, b: jnp.stack([a, b]), b1, b2)
+    s_chn, lc = step_c(state, stacked)
+
+    np.testing.assert_allclose(
+        float(lc["train/total"]),
+        (float(l1["train/total"]) + float(l2["train/total"])) / 2.0,
+        rtol=1e-6,
+    )
+    assert int(s_chn.step) == int(s_seq.step) == 2
+    for (path, a), (_, b) in zip(
+        jax.tree_util.tree_flatten_with_path(s_seq.params)[0],
+        jax.tree_util.tree_flatten_with_path(s_chn.params)[0],
+    ):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=1e-6, atol=1e-7,
+            err_msg=jax.tree_util.keystr(path),
+        )
+
+
+@pytest.mark.slow
 def test_grad_accumulation_matches_big_batch(rng):
     """accum_steps=2 over two stacked half-batches must produce the SAME
     parameters as one step on the concatenated batch: with equal micro

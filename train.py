@@ -90,6 +90,15 @@ def main() -> None:
         "K*train_batch_size at single-batch activation memory",
     )
     parser.add_argument(
+        "--chain",
+        type=int,
+        default=1,
+        help="dispatch chaining: C optimizer updates per device dispatch "
+        "(identical math, C* fewer host->device dispatches; use when "
+        "per-dispatch latency binds e2e throughput — log/ckpt cadence "
+        "coarsens to C)",
+    )
+    parser.add_argument(
         "--prng",
         default="rbg",
         choices=["rbg", "threefry2x32"],
@@ -202,6 +211,7 @@ def main() -> None:
         ),
         log_every=max(1, args.log_every),
         accum_steps=max(1, args.accum),
+        chain_steps=max(1, args.chain),
     )
     max_epochs = (
         args.epochs if args.epochs is not None
@@ -209,14 +219,21 @@ def main() -> None:
     )
 
     def train_batches():
-        if args.accum > 1:
+        n_group = (args.accum > 1) + (args.chain > 1)
+        if n_group:
             # group HOST-side (numpy np.stack) before the single device
             # transfer per group — eager per-leaf stacking of sharded
-            # arrays would round-trip the TPU relay per leaf
+            # arrays would round-trip the TPU relay per leaf.  Axis order:
+            # [chain,][micro,] batch (chain outermost)
             from trajsde_tpu.train.loop import group_microbatches
 
-            for group in group_microbatches(datamodule.train_loader(), args.accum):
-                yield mesh_lib.shard_batch(group, mesh, batch_axis=1)
+            stream = datamodule.train_loader()
+            if args.accum > 1:
+                stream = group_microbatches(stream, args.accum)
+            if args.chain > 1:
+                stream = group_microbatches(stream, args.chain)
+            for group in stream:
+                yield mesh_lib.shard_batch(group, mesh, batch_axis=n_group)
         else:
             for batch in datamodule.train_loader():
                 yield mesh_lib.shard_batch(batch, mesh)

@@ -25,7 +25,16 @@ except Exception:  # pragma: no cover
 
 
 class ExperimentLogger:
-    """Scalars to TensorBoard (if available) + append-only JSONL."""
+    """Scalars to TensorBoard (if available) + append-only JSONL.
+
+    :meth:`log_scalars_async` keeps the device→host scalar fetch OFF the
+    training hot loop: through this environment's network relay each
+    fetch is a ~30-40 ms round trip, and an in-line ``float(v)`` at
+    ``--log-every 2`` serialized the step pipeline (measured in the
+    round-4 shard soak).  A single worker thread drains a queue of
+    (step, device-arrays) records; entries are written in submit order,
+    so the JSONL stays monotonic.
+    """
 
     def __init__(self, log_dir: str, use_tensorboard: bool = True):
         self.log_dir = os.path.abspath(log_dir)
@@ -34,9 +43,13 @@ class ExperimentLogger:
         self._tb = (
             SummaryWriter(self.log_dir) if (_HAS_TB and use_tensorboard) else None
         )
+        self._q = None  # async worker created lazily on first async log
 
-    def log_scalars(self, step: int, scalars: Dict[str, float]) -> None:
-        record = {"step": step, "time": time.time()}
+    def _write(self, step: int, scalars: Dict[str, float], t: float) -> None:
+        record = {"step": step, "time": t}
+        # one batched transfer for the whole dict (vs a relay round trip
+        # per scalar); host floats pass through device_get unchanged
+        scalars = jax.device_get(scalars)
         for k, v in scalars.items():
             v = float(v)
             record[k] = v
@@ -45,7 +58,45 @@ class ExperimentLogger:
         self._jsonl.write(json.dumps(record) + "\n")
         self._jsonl.flush()
 
+    def log_scalars(self, step: int, scalars: Dict[str, float]) -> None:
+        self.flush()  # keep JSONL ordering vs any queued async records
+        self._write(step, scalars, time.time())
+
+    def log_scalars_async(self, step: int, scalars) -> None:
+        """Enqueue a log record whose values may still be device arrays;
+        the worker thread pays the transfer latency."""
+        if self._q is None:
+            import queue as queue_mod
+            import threading
+
+            self._q = queue_mod.Queue(maxsize=64)
+
+            def drain():
+                while True:
+                    item = self._q.get()
+                    if item is None:
+                        return
+                    try:
+                        self._write(*item)
+                    except Exception:  # never kill training over a log line
+                        pass
+                    finally:
+                        self._q.task_done()
+
+            self._worker = threading.Thread(target=drain, daemon=True)
+            self._worker.start()
+        self._q.put((step, scalars, time.time()))
+
+    def flush(self) -> None:
+        """Block until every queued async record is on disk."""
+        if self._q is not None:
+            self._q.join()
+
     def close(self) -> None:
+        if self._q is not None:
+            self.flush()
+            self._q.put(None)
+            self._worker.join(timeout=10)
         self._jsonl.close()
         if self._tb is not None:
             self._tb.close()

@@ -91,6 +91,7 @@ def make_train_step(
     donate: bool = True,
     ts_drop_rate: float = 0.0,
     accum_steps: int = 1,
+    chain_steps: int = 1,
 ) -> Callable:
     """Build the jitted train step: grads of the weighted loss sum.
 
@@ -106,6 +107,12 @@ def make_train_step(
     accumulating averaged grads — one optimizer update, micro-batch-sized
     activation memory.  This trains effective batch ``k·B`` where direct
     ``B=256`` spills HBM (PERF.md B=256 root cause).
+
+    ``chain_steps > 1`` chains C full optimizer UPDATES into one device
+    dispatch (scenes stacked ``[C, ...]``; composes with accumulation as
+    ``[C, K, B, ...]``): identical math to C separate calls, C× fewer
+    host→device dispatches — the lever when per-dispatch latency binds
+    e2e throughput (this environment's relay costs ~30-40 ms/dispatch).
     """
 
     def loss_fn(params, scene, sde_key, drop_key):
@@ -156,8 +163,7 @@ def make_train_step(
         logs = jax.tree.map(jnp.mean, logs_k)
         return (loss, logs), grads
 
-    @partial(jax.jit, donate_argnums=(0,) if donate else ())
-    def train_step(state: TrainState, scene: SceneBatch):
+    def update_body(state: TrainState, scene: SceneBatch):
         key, sde_key, drop_key = jax.random.split(state.key, 3)
         (loss, logs), grads = grads_of(state.params, scene, sde_key, drop_key)
         # failure detection: a non-finite loss/grad step is SKIPPED rather
@@ -186,7 +192,25 @@ def make_train_step(
         )
         return new_state, logs
 
-    return train_step
+    if chain_steps == 1:
+        return partial(jax.jit, donate_argnums=(0,) if donate else ())(update_body)
+
+    # dispatch chaining: C FULL optimizer updates per device dispatch over
+    # scenes stacked [C, ...] on a leading chain axis.  Each dispatch is a
+    # network round trip through this environment's TPU relay (~30-40 ms),
+    # which binds e2e throughput once the loader is fast (PERF.md round 4
+    # shard soak: 230 ms/step e2e vs the 167 ms device step); chaining
+    # amortizes it C-fold.  Composes with accum (scenes [C, K, B, ...]).
+    @partial(jax.jit, donate_argnums=(0,) if donate else ())
+    def chained_step(state: TrainState, scenes: SceneBatch):
+        state, logs_c = jax.lax.scan(update_body, state, scenes)
+        logs = jax.tree.map(jnp.mean, logs_c)
+        # skip accounting stays a COUNT (a NaN burst inside a chain must
+        # not average away); the mean of the rest matches log semantics
+        logs["train/step_skipped"] = jnp.sum(logs_c["train/step_skipped"])
+        return state, logs
+
+    return chained_step
 
 
 def make_eval_step(model, metrics, is_gtabs: bool = True) -> Callable:
@@ -248,16 +272,55 @@ def device_prefetch(iterator, size: int = 2):
     """Double-buffered host→device pipeline: keep ``size`` batches in
     flight so packing/transfer overlaps device compute (the reference
     leans on 32 dataloader workers + pinned memory for the same overlap,
-    ``Datamodule_nuargo_mix.py:33-44``)."""
-    import collections
+    ``Datamodule_nuargo_mix.py:33-44``).
 
-    queue = collections.deque()
-    for item in iterator:
-        queue.append(jax.device_put(item))
-        if len(queue) >= size:
-            yield queue.popleft()
-    while queue:
-        yield queue.popleft()
+    The pull + ``device_put`` runs in a background thread: in this
+    environment the transfer rides a network relay where ``device_put``
+    can block for tens of ms, and the loader's host-side pack costs
+    ~60 ms/batch — in-line, both serialize with the step dispatch (the
+    round-4 shard soak measured 299 ms/step e2e vs the 167 ms device
+    step).  A deque of futures would not help: the generator only
+    advances between steps.  Exceptions from the loader/transfer
+    re-raise at the consuming ``next()``."""
+    import queue as queue_mod
+    import threading
+
+    q: "queue_mod.Queue" = queue_mod.Queue(maxsize=size)
+    stop = threading.Event()
+    _END = object()
+
+    def _put(x) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(x, timeout=0.1)
+                return True
+            except queue_mod.Full:
+                continue
+        return False
+
+    def worker():
+        try:
+            for item in iterator:
+                if not _put(jax.device_put(item)):
+                    return  # consumer abandoned the generator (preemption)
+            _put(_END)
+        except BaseException as e:  # surface loader errors to the consumer
+            _put(e)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    try:
+        while True:
+            out = q.get()
+            if out is _END:
+                return
+            if isinstance(out, BaseException):
+                raise out
+            yield out
+    finally:
+        # consumer broke out early (e.g. preemption mid-eval): release the
+        # worker so it stops pulling the underlying loader iterator
+        stop.set()
 
 
 @dataclass
@@ -284,20 +347,28 @@ class Trainer:
                                  # does); pre-sharded device streams fall
                                  # back to eager jnp.stack, which round-trips
                                  # the TPU relay per leaf and drops sharding
+    chain_steps: int = 1         # dispatch chaining: C optimizer updates per
+                                 # device dispatch (amortizes per-dispatch
+                                 # latency; logs/ckpt cadence coarsens to C)
 
     def __post_init__(self):
         self.train_step = make_train_step(
             self.model, self.optimizer, self.losses,
             ts_drop_rate=self.ts_drop_rate, accum_steps=self.accum_steps,
+            chain_steps=self.chain_steps,
         )
         self.eval_step = make_eval_step(self.model, self.metrics, self.is_gtabs)
         self._preempted = False
 
     def _grouped(self, batches):
         """Route batches through :func:`group_microbatches` unless the data
-        pipeline already grouped them (5-dim ``x`` ⇒ a ``[K, B, ...]``
-        stack, e.g. ``train.py`` groups host-side before sharding)."""
-        if self.accum_steps == 1:
+        pipeline already grouped them (extra leading axes on ``x``, whose
+        base rank is 4 — e.g. ``train.py`` groups host-side before
+        sharding so the np.stack never touches device arrays).
+        ``chain_steps > 1`` stacks a leading chain axis on top of whatever
+        accumulation grouping produced: ``[C,][K,] B, ...``."""
+        n_extra = (self.accum_steps > 1) + (self.chain_steps > 1)
+        if n_extra == 0:
             yield from batches
             return
         import itertools
@@ -307,22 +378,26 @@ class Trainer:
         if first is None:
             return
         stream = itertools.chain([first], it)
-        if first.x.ndim == 5:
-            if first.x.shape[0] != self.accum_steps:
+        if first.x.ndim == 4 + n_extra:  # pre-grouped upstream
+            want = [k for k in (self.chain_steps, self.accum_steps) if k > 1]
+            if list(first.x.shape[:n_extra]) != want:
                 import logging
 
-                # a FULL pre-grouped micro axis that disagrees with the
-                # configured accum trains a different effective batch than
-                # the LR schedule was sized for — loudly, not silently
+                # a FULL pre-grouped axis that disagrees with the
+                # configured grouping trains a different effective batch /
+                # cadence than configured — loudly, not silently
                 logging.getLogger(__name__).warning(
-                    "pre-grouped micro axis K=%d != accum_steps=%d; "
-                    "training proceeds at the incoming K (check --accum "
-                    "vs the grouping pipeline)",
-                    first.x.shape[0], self.accum_steps,
+                    "pre-grouped leading axes %s != configured %s (chain, "
+                    "accum); training proceeds at the incoming shape",
+                    tuple(first.x.shape[:n_extra]), tuple(want),
                 )
             yield from stream
-        else:
-            yield from group_microbatches(stream, self.accum_steps)
+            return
+        if self.accum_steps > 1:
+            stream = group_microbatches(stream, self.accum_steps)
+        if self.chain_steps > 1:
+            stream = group_microbatches(stream, self.chain_steps)
+        yield from stream
 
     def _install_preempt_handlers(self):
         """TPU-pod preemption delivers SIGTERM; Lightning (and the
@@ -419,10 +494,14 @@ class Trainer:
                         # steps N..N+4, not N+1..N+5
                         self.profiler.on_step(step + 1)
                     state, logs = self.train_step(state, scene)
-                    step += 1
-                    n_steps += 1
-                    # with accumulation the leading axis is the micro axis
-                    scenes += int(np.prod(scene.x.shape[: 1 + (self.accum_steps > 1)]))
+                    # a chained dispatch advances the step counter by its
+                    # (possibly partial trailing) chain length
+                    n_inner = scene.x.shape[0] if self.chain_steps > 1 else 1
+                    step += n_inner
+                    n_steps += n_inner
+                    # leading axes: [chain,][micro,] batch
+                    lead = 1 + (self.chain_steps > 1) + (self.accum_steps > 1)
+                    scenes += int(np.prod(scene.x.shape[:lead]))
                     sk = logs.get("train/step_skipped")
                     if sk is not None:
                         # device-side running total (no host sync): a NaN
@@ -432,13 +511,22 @@ class Trainer:
                         logs = dict(
                             logs, **{"train/steps_skipped_cum": skip_acc}
                         )
-                    if self.logger is not None and step % self.log_every == 0:
-                        self.logger.log_scalars(step, logs)
+                    if self.logger is not None and (
+                        step // self.log_every > (step - n_inner) // self.log_every
+                    ):
+                        # async: the device→host scalar fetch must not
+                        # stall the step pipeline (each fetch is a relay
+                        # round trip here); epoch/val logs stay sync
+                        self.logger.log_scalars_async(step, logs)
                     if self._preempted:
                         return self._emergency_stop(state, step)
                 # train-only wall BEFORE the val pass: perf/steps_per_s
                 # must not absorb evaluation time (epoch_time_s stays
-                # inclusive)
+                # inclusive).  The loop no longer syncs per step (async
+                # logging), so a value fetch closes the epoch timing —
+                # otherwise this would measure dispatch rate, not
+                # execution (CLAUDE.md "TPU microbenchmarks lie")
+                float(jnp.sum(jax.tree.leaves(state.params)[0]))
                 train_dt = time.time() - t0
                 if self._preempted:
                     # SIGTERM can land between the last step and here; the
