@@ -77,6 +77,7 @@ def main() -> None:
 
     from trajsde_tpu.config import build_model, load_config
     from trajsde_tpu.data.loader import DataModuleNuArgoMix
+    from trajsde_tpu.data.scene import strip_for_device
     from trajsde_tpu.parallel import mesh as mesh_lib
     from trajsde_tpu.train.checkpoint import CheckpointManager
     from trajsde_tpu.train.loop import agent_slices, create_train_state, gather_agent
@@ -99,7 +100,7 @@ def main() -> None:
 
     mesh = mesh_lib.make_mesh_for_batch(datamodule.val_batch_size)
     loader = datamodule.test_loader()
-    example = mesh_lib.shard_batch(loader.first_batch(), mesh)
+    example = mesh_lib.shard_batch(strip_for_device(loader.first_batch()), mesh)
     state = create_train_state(model, optax.identity(), example)
     ckpt_dir = os.path.dirname(os.path.abspath(args.ckpt))
     # weights-only restore: the eval state's optimizer tree differs from
@@ -204,8 +205,11 @@ def main() -> None:
     key = jax.random.key(0)
     std_sum, std_cnt = 0.0, 0
     submissions = []
-    for i, scene in enumerate(loader):
-        scene = mesh_lib.shard_batch(scene, mesh)
+    for i, host_scene in enumerate(loader):
+        # device copy sheds goal one-hots / future positions (exact —
+        # no jitted consumer reads them); viz below keeps the full
+        # host-side batch (viz_scene draws the future ground truth)
+        scene = mesh_lib.shard_batch(strip_for_device(host_scene), mesh)
         contribs = eval_step(state.params, scene, key, np.int32(i))
         for m in metrics:
             if m.name in contribs:
@@ -218,7 +222,7 @@ def main() -> None:
             from trajsde_tpu.utils.viz import viz_ood as _viz_ood
 
             viz_dir = os.path.join(os.path.dirname(ckpt_dir), "out", "viz_ood")
-            _viz_ood(scene, np.asarray(contribs["stds_full"]), 0,
+            _viz_ood(host_scene, np.asarray(contribs["stds_full"]), 0,
                      os.path.join(viz_dir, f"batch{i:04d}.png"))
         if "submission" in contribs:
             world, probs, seq, src = contribs["submission"]

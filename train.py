@@ -177,7 +177,11 @@ def main() -> None:
     # the data mesh — a config omitting train_batch_size still trains at
     # the loader default, so the mesh must match it
     mesh = mesh_lib.make_mesh_for_batch(datamodule.train_batch_size)
-    example = mesh_lib.shard_batch(datamodule.train_loader().first_batch(), mesh)
+    from trajsde_tpu.data.scene import strip_for_device
+
+    example = mesh_lib.shard_batch(
+        strip_for_device(datamodule.train_loader().first_batch()), mesh
+    )
     state = create_train_state(model, optimizer, example, seed=args.seed)
     state = jax.device_put(state, mesh_lib.replicated(mesh))
     if args.zero1:
@@ -227,7 +231,9 @@ def main() -> None:
             # [chain,][micro,] batch (chain outermost)
             from trajsde_tpu.train.loop import group_microbatches
 
-            stream = datamodule.train_loader()
+            # strip_for_device BEFORE grouping: the dead fields never get
+            # host-stacked, let alone transferred
+            stream = map(strip_for_device, datamodule.train_loader())
             if args.accum > 1:
                 stream = group_microbatches(stream, args.accum)
             if args.chain > 1:
@@ -236,11 +242,11 @@ def main() -> None:
                 yield mesh_lib.shard_batch(group, mesh, batch_axis=n_group)
         else:
             for batch in datamodule.train_loader():
-                yield mesh_lib.shard_batch(batch, mesh)
+                yield mesh_lib.shard_batch(strip_for_device(batch), mesh)
 
     def val_batches():
         for batch in datamodule.val_loader():
-            yield mesh_lib.shard_batch(batch, mesh)
+            yield mesh_lib.shard_batch(strip_for_device(batch), mesh)
 
     trainer.fit(state, train_batches, val_batches, max_epochs=max_epochs)
 

@@ -94,6 +94,43 @@ class SceneBatch:
         return jnp.stack([row0, row1], axis=-2)
 
 
+def strip_for_device(batch: "SceneBatch") -> "SceneBatch":
+    """Shed wire bytes no jitted consumer reads, before host→device transfer.
+
+    Two fields of the ``TemporalData``-parity contract are dead weight on
+    the training/eval hot path (they exist for preprocessing parity,
+    submissions and host-side viz — no model, loss, metric or serving
+    projection touches them on device):
+
+    - ``goal_idcs`` ``[B, A, L]`` float one-hot + ``has_goal``: ~30% of a
+      real preprocessed batch's payload (4.5 MiB at B=128/A=48/L=192);
+      consumed by nothing under jit (the reference likewise only stores
+      them, ``models/utils/util.py:21-75``).
+    - ``positions[..., Th:, :]``: every device consumer slices
+      ``[:, :, :Th]`` or indexes ``ref_time < Th`` (``models/graph.py``,
+      ``server.py`` world projection); the future 60 of 81 steps
+      (2.8 of 3.8 MiB at production shape) never leave the host's use
+      (targets live in ``y``).
+
+    Exact by construction — it removes bytes, not precision.  Handles
+    leading group axes (``[chain,][micro,] B``) by truncating the
+    second-to-last positions axis to ``x``'s step count.  Idempotent, so
+    double application (CLI generator + ``device_prefetch``) is free; the
+    caller must apply it host-side (slicing a device array here would be
+    an eager relay round trip on this backend).
+    """
+    th = batch.x.shape[-2]
+    pos = batch.positions
+    truncate = pos is not None and pos.shape[-2] != th
+    if not truncate and batch.goal_idcs is None and batch.has_goal is None:
+        return batch
+    return batch.replace(
+        positions=pos[..., :th, :] if truncate else pos,
+        goal_idcs=None,
+        has_goal=None,
+    )
+
+
 def rotate_into(v: jax.Array, rot: jax.Array) -> jax.Array:
     """Rotate 2-vectors ``v`` by matrices ``rot`` (row-vector convention).
 
