@@ -53,6 +53,9 @@ def generate(root: str, n_train: int, n_val: int, fmt: str) -> None:
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--fmt", choices=["npz", "shard"], default="shard")
+    p.add_argument("--wire", action="store_true",
+                   help="pack batches to one transfer buffer per dtype "
+                        "(train.py --wire)")
     p.add_argument("--chain", type=int, default=1,
                    help="forwarded to train.py --chain (dispatch chaining)")
     p.add_argument("--epochs", type=int, default=3)
@@ -90,7 +93,7 @@ def main() -> None:
                 "-n", "soak", "--logdir", run_root,
                 "--epochs", str(args.epochs), "--log-every", "2",
                 "--chain", str(args.chain),
-            ],
+            ] + (["--wire"] if args.wire else []),
             check=True,
             cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         )

@@ -99,6 +99,13 @@ def main() -> None:
         "coarsens to C)",
     )
     parser.add_argument(
+        "--wire",
+        action="store_true",
+        help="pack each batch to one host->device buffer per dtype before "
+        "the transfer (exact; the jitted step relayouts in-trace) — cuts "
+        "per-leaf transfer round trips on relayed/remote TPU backends",
+    )
+    parser.add_argument(
         "--prng",
         default="rbg",
         choices=["rbg", "threefry2x32"],
@@ -178,6 +185,7 @@ def main() -> None:
     # the loader default, so the mesh must match it
     mesh = mesh_lib.make_mesh_for_batch(datamodule.train_batch_size)
     from trajsde_tpu.data.scene import strip_for_device
+    from trajsde_tpu.data.wire import pack_wire
 
     example = mesh_lib.shard_batch(
         strip_for_device(datamodule.train_loader().first_batch()), mesh
@@ -216,6 +224,7 @@ def main() -> None:
         log_every=max(1, args.log_every),
         accum_steps=max(1, args.accum),
         chain_steps=max(1, args.chain),
+        wire=args.wire,
     )
     max_epochs = (
         args.epochs if args.epochs is not None
@@ -223,6 +232,11 @@ def main() -> None:
     )
 
     def train_batches():
+        # --wire packs host batches to one buffer per dtype BEFORE the
+        # sharded placement (shard_batch is pytree-generic, so the wire
+        # buffers shard along their scene axis like the unpacked fields);
+        # the jitted steps relayout in-trace (data/wire.py)
+        wire_fn = pack_wire if args.wire else (lambda b: b)
         n_group = (args.accum > 1) + (args.chain > 1)
         if n_group:
             # group HOST-side (numpy np.stack) before the single device
@@ -239,14 +253,15 @@ def main() -> None:
             if args.chain > 1:
                 stream = group_microbatches(stream, args.chain)
             for group in stream:
-                yield mesh_lib.shard_batch(group, mesh, batch_axis=n_group)
+                yield mesh_lib.shard_batch(wire_fn(group), mesh, batch_axis=n_group)
         else:
             for batch in datamodule.train_loader():
-                yield mesh_lib.shard_batch(strip_for_device(batch), mesh)
+                yield mesh_lib.shard_batch(wire_fn(strip_for_device(batch)), mesh)
 
     def val_batches():
+        wire_fn = pack_wire if args.wire else (lambda b: b)
         for batch in datamodule.val_loader():
-            yield mesh_lib.shard_batch(strip_for_device(batch), mesh)
+            yield mesh_lib.shard_batch(wire_fn(strip_for_device(batch)), mesh)
 
     trainer.fit(state, train_batches, val_batches, max_epochs=max_epochs)
 

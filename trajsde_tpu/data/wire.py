@@ -1,0 +1,118 @@
+"""Wire-format batches: one host→device buffer per dtype.
+
+A stripped production ``SceneBatch`` is ~15 separate arrays.  On this
+environment's relayed TPU backend every pytree leaf of a
+``jax.device_put`` is its own transfer RPC, so the per-leaf round-trip
+overhead — not just the payload bytes — rides the e2e step time (PERF.md
+round 4 "Shard-format production soak": 63 ms/step of residual transfer
+cost over the 167 ms device step).  Real PCIe-attached TPU hosts have the
+same shape of cost at a smaller constant (one DMA setup per leaf).
+
+``pack_wire`` concatenates every populated field onto the trailing axis
+of ONE flat buffer per dtype, host-side in numpy (a single memcpy pass),
+preserving the leading ``[chain,][micro,] B`` group axes so the packed
+batch remains scannable and data-parallel-shardable along axis 0.
+``unpack_wire`` is traceable and runs INSIDE the jitted step: static
+slices + reshapes that XLA lowers to at-worst one HBM copy (~10 µs for a
+7.5 MiB batch) — the relayout happens at HBM bandwidth instead of wire
+bandwidth.  Exact by construction: bytes are moved, never converted.
+
+The reference has no analog — its CUDA path inherits pinned-memory
+batching from the PyG collate (``dataset/Datamodule_nuargo_mix.py:33-44``);
+this is the TPU-native replacement for that transfer-path tuning.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import jax
+import numpy as np
+from flax import struct
+
+from trajsde_tpu.data.scene import SceneBatch
+
+# fields are packed in this fixed order; x MUST stay first (its ndim
+# defines how many leading group axes the batch carries — SceneBatch's
+# canonical x is [B, A, Th, 2], 4 axes).  The scene axis B itself stays a
+# leading buffer axis (buffers are [*groups, B, per_scene]) so a wire
+# batch scans over group axes and data-parallel-shards along B exactly
+# like the unpacked batch.
+_X_NDIM = 4
+_FIELDS: Tuple[str, ...] = (
+    "x",
+    "positions",
+    "padding_mask",
+    "bos_mask",
+    "rotate_angles",
+    "actor_valid",
+    "agent_index",
+    "av_index",
+    "source",
+    "y",
+    "lane_positions",
+    "lane_paddings",
+    "lane_valid",
+    "goal_idcs",
+    "has_goal",
+    "seq_id",
+)
+
+
+@struct.dataclass
+class WireBatch:
+    """A ``SceneBatch`` packed into one flat buffer per dtype.
+
+    ``bufs`` maps dtype name → ``[*lead, total]`` array; ``spec`` is
+    static pytree metadata (hashable → one executable per batch format):
+    ``(n_lead, ((field, dtype_name, offset, size, shape_after_lead), …))``.
+    """
+
+    bufs: Dict[str, jax.Array]
+    spec: Tuple[int, Tuple[tuple, ...]] = struct.field(pytree_node=False)
+
+    @property
+    def lead_shape(self) -> Tuple[int, ...]:
+        """The ``[*groups, B]`` leading axes shared by every buffer."""
+        return next(iter(self.bufs.values())).shape[:-1]
+
+
+def pack_wire(batch: SceneBatch) -> WireBatch:
+    """Pack a host (numpy) ``SceneBatch`` into per-dtype wire buffers."""
+    n_lead = batch.x.ndim - _X_NDIM + 1  # group axes + the scene axis B
+    lead = batch.x.shape[:n_lead]
+    chunks: Dict[str, list] = {}
+    offsets: Dict[str, int] = {}
+    entries = []
+    for name in _FIELDS:
+        arr = getattr(batch, name)
+        if arr is None:
+            continue
+        arr = np.asarray(arr)
+        key = arr.dtype.name
+        flat = arr.reshape(*lead, -1)
+        off = offsets.get(key, 0)
+        entries.append((name, key, off, flat.shape[-1], arr.shape[n_lead:]))
+        offsets[key] = off + flat.shape[-1]
+        chunks.setdefault(key, []).append(flat)
+    bufs = {
+        k: (v[0] if len(v) == 1 else np.concatenate(v, axis=-1))
+        for k, v in chunks.items()
+    }
+    return WireBatch(bufs=bufs, spec=(n_lead, tuple(entries)))
+
+
+def unpack_wire(wire: WireBatch) -> SceneBatch:
+    """Rebuild the ``SceneBatch`` from wire buffers (traceable)."""
+    n_lead, entries = wire.spec
+    fields: Dict[str, Any] = {}
+    for name, key, off, size, shape in entries:
+        buf = wire.bufs[key]
+        flat = jax.lax.slice_in_dim(buf, off, off + size, axis=buf.ndim - 1)
+        fields[name] = flat.reshape(*buf.shape[:-1], *shape)
+    return SceneBatch(**fields)
+
+
+def unpack_if_wire(scene):
+    """In-trace dispatch: wire batches relayout to field shapes, plain
+    ``SceneBatch``es pass through untouched."""
+    return unpack_wire(scene) if isinstance(scene, WireBatch) else scene

@@ -22,6 +22,7 @@ import optax
 from flax import struct
 
 from trajsde_tpu.data.scene import SceneBatch, strip_for_device
+from trajsde_tpu.data.wire import WireBatch, pack_wire, unpack_if_wire
 
 
 @struct.dataclass
@@ -196,9 +197,9 @@ def make_train_step(
 
         @partial(jax.jit, donate_argnums=(0,) if donate else ())
         def train_step(state: TrainState, scene):
-            # wire-format batches unpack IN-TRACE: the flat buffers were
-            # the fast host→device path; the relayout to field shapes
-            # runs here at HBM bandwidth (data/wire.py)
+            # wire-format batches relayout to field shapes IN-TRACE: the
+            # flat per-dtype buffers were the fast host→device path; the
+            # reshape back runs here at HBM bandwidth (data/wire.py)
             return update_body(state, unpack_if_wire(scene))
 
         return train_step
@@ -211,7 +212,7 @@ def make_train_step(
     # amortizes it C-fold.  Composes with accum (scenes [C, K, B, ...]).
     @partial(jax.jit, donate_argnums=(0,) if donate else ())
     def chained_step(state: TrainState, scenes: SceneBatch):
-        state, logs_c = jax.lax.scan(update_body, state, scenes)
+        state, logs_c = jax.lax.scan(update_body, state, unpack_if_wire(scenes))
         logs = jax.tree.map(jnp.mean, logs_c)
         # skip accounting stays a COUNT (a NaN burst inside a chain must
         # not average away); the mean of the rest matches log semantics
@@ -226,6 +227,7 @@ def make_eval_step(model, metrics, is_gtabs: bool = True) -> Callable:
 
     @jax.jit
     def eval_step(params, scene: SceneBatch, sde_key, batch_idx):
+        scene = unpack_if_wire(scene)
         # fold_in INSIDE the trace: an eager per-batch fold_in is one
         # device round trip per val batch on the remote TPU backend
         sde_key = jax.random.fold_in(sde_key, batch_idx)
@@ -276,7 +278,7 @@ def group_microbatches(batches, k: int):
         yield stack_group(buf)
 
 
-def device_prefetch(iterator, size: int = 2):
+def device_prefetch(iterator, size: int = 2, wire: bool = False):
     """Double-buffered host→device pipeline: keep ``size`` batches in
     flight so packing/transfer overlaps device compute (the reference
     leans on 32 dataloader workers + pinned memory for the same overlap,
@@ -320,6 +322,13 @@ def device_prefetch(iterator, size: int = 2):
                     jax.tree.leaves(item)[0], np.ndarray
                 ):
                     item = strip_for_device(item)
+                    if wire:
+                        # pack to one buffer per dtype: each pytree leaf
+                        # of a device_put is its own transfer RPC on the
+                        # relayed backend (PERF.md round 4 "wire format"),
+                        # so 15 leaves → 3 cuts per-leaf round trips; the
+                        # jitted step relayouts in-trace (unpack_if_wire)
+                        item = pack_wire(item)
                 if not _put(jax.device_put(item)):
                     return  # consumer abandoned the generator (preemption)
             _put(_END)
@@ -369,6 +378,9 @@ class Trainer:
     chain_steps: int = 1         # dispatch chaining: C optimizer updates per
                                  # device dispatch (amortizes per-dispatch
                                  # latency; logs/ckpt cadence coarsens to C)
+    wire: bool = False           # pack host batches to one buffer per dtype
+                                 # before the device transfer (data/wire.py);
+                                 # exact — the jitted steps relayout in-trace
 
     def __post_init__(self):
         self.train_step = make_train_step(
@@ -397,9 +409,19 @@ class Trainer:
         if first is None:
             return
         stream = itertools.chain([first], it)
-        if first.x.ndim == 4 + n_extra:  # pre-grouped upstream
+        # group rank seen so far: extra axes left of the scene axis
+        # (WireBatch buffers are [*groups, B, per_scene])
+        n_seen = (
+            len(first.lead_shape) - 1
+            if isinstance(first, WireBatch)
+            else first.x.ndim - 4
+        )
+        lead_dims = (
+            first.lead_shape if isinstance(first, WireBatch) else first.x.shape
+        )
+        if n_seen == n_extra:  # pre-grouped upstream
             want = [k for k in (self.chain_steps, self.accum_steps) if k > 1]
-            if list(first.x.shape[:n_extra]) != want:
+            if list(lead_dims[:n_extra]) != want:
                 import logging
 
                 # a FULL pre-grouped axis that disagrees with the
@@ -408,7 +430,7 @@ class Trainer:
                 logging.getLogger(__name__).warning(
                     "pre-grouped leading axes %s != configured %s (chain, "
                     "accum); training proceeds at the incoming shape",
-                    tuple(first.x.shape[:n_extra]), tuple(want),
+                    tuple(lead_dims[:n_extra]), tuple(want),
                 )
             yield from stream
             return
@@ -506,7 +528,9 @@ class Trainer:
                 n_steps = 0
                 scenes = 0
                 skip_acc = None
-                for scene in device_prefetch(self._grouped(train_batches())):
+                for scene in device_prefetch(
+                    self._grouped(train_batches()), wire=self.wire
+                ):
                     if self.profiler is not None:
                         # BEFORE the dispatch, with the step number this
                         # batch will carry — so `--profile N` traces
@@ -515,12 +539,17 @@ class Trainer:
                     state, logs = self.train_step(state, scene)
                     # a chained dispatch advances the step counter by its
                     # (possibly partial trailing) chain length
-                    n_inner = scene.x.shape[0] if self.chain_steps > 1 else 1
+                    lead_shape = (
+                        scene.lead_shape
+                        if isinstance(scene, WireBatch)
+                        else scene.x.shape
+                    )
+                    n_inner = lead_shape[0] if self.chain_steps > 1 else 1
                     step += n_inner
                     n_steps += n_inner
                     # leading axes: [chain,][micro,] batch
                     lead = 1 + (self.chain_steps > 1) + (self.accum_steps > 1)
-                    scenes += int(np.prod(scene.x.shape[:lead]))
+                    scenes += int(np.prod(lead_shape[:lead]))
                     sk = logs.get("train/step_skipped")
                     if sk is not None:
                         # device-side running total (no host sync): a NaN
@@ -604,7 +633,7 @@ class Trainer:
         for m in self.metrics:
             m.reset()
         key = jax.random.key(12345)
-        for i, scene in enumerate(device_prefetch(batches())):
+        for i, scene in enumerate(device_prefetch(batches(), wire=self.wire)):
             if self._preempted:
                 break  # fit() saves the emergency checkpoint
             contribs = self.eval_step(
