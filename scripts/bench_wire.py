@@ -62,9 +62,17 @@ def main() -> None:
         # the scalar comes back
         return sum(jnp.sum(jnp.asarray(x, jnp.float32)[..., :1]) for x in jax.tree.leaves(tree))
 
-    # compile both executables outside the timed region
+    MIB = 2**20
+    wire_part = pack_wire(batch, inline_min_bytes=MIB)
+    print(
+        f"wire(inline>=1MiB): {len(jax.tree.leaves(wire_part))} transfers "
+        f"({len(wire_part.inline)} inline + {len(wire_part.bufs)} packed)"
+    )
+
+    # compile the executables outside the timed region
     float(land(jax.device_put(batch)))
     float(land(jax.device_put(wire)))
+    float(land(jax.device_put(wire_part)))
 
     def run(make_item, label):
         t_pack = 0.0
@@ -83,7 +91,12 @@ def main() -> None:
 
     per_field = run(lambda: batch, "per-field (current default)")
     wired = run(lambda: pack_wire(batch), "wire (pack + 3 transfers)")
-    print(f"wire speedup: {per_field / wired:.2f}x")
+    part = run(
+        lambda: pack_wire(batch, inline_min_bytes=MIB),
+        "wire inline>=1MiB (big fields native, small tail packed)",
+    )
+    print(f"wire speedup: {per_field / wired:.2f}x  "
+          f"inline-variant speedup: {per_field / part:.2f}x")
 
 
 if __name__ == "__main__":

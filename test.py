@@ -70,6 +70,13 @@ def main() -> None:
         "--serving-increments", choices=["rademacher", "gaussian"],
         default="rademacher",
     )
+    parser.add_argument(
+        "--wire",
+        action="store_true",
+        help="pack each batch to one host->device buffer per dtype before "
+        "the transfer (exact in-trace relayout; cuts per-leaf transfer "
+        "round trips on relayed/remote TPU backends)",
+    )
     args = parser.parse_args()
     if args.serving and args.ood:
         parser.error("--serving drives the decoder rollout; --ood scores the "
@@ -142,6 +149,9 @@ def main() -> None:
 
     @jax.jit
     def eval_step(params, scene, key, batch_idx):
+        from trajsde_tpu.data.wire import unpack_if_wire
+
+        scene = unpack_if_wire(scene)  # --wire relayout, in-trace
         # fold_in INSIDE the trace — an eager per-batch fold_in is one
         # device round trip per batch on the remote TPU backend
         key = jax.random.fold_in(key, batch_idx)
@@ -209,7 +219,12 @@ def main() -> None:
         # device copy sheds goal one-hots / future positions (exact —
         # no jitted consumer reads them); viz below keeps the full
         # host-side batch (viz_scene draws the future ground truth)
-        scene = mesh_lib.shard_batch(strip_for_device(host_scene), mesh)
+        scene = strip_for_device(host_scene)
+        if args.wire:
+            from trajsde_tpu.data.wire import pack_wire
+
+            scene = pack_wire(scene)
+        scene = mesh_lib.shard_batch(scene, mesh)
         contribs = eval_step(state.params, scene, key, np.int32(i))
         for m in metrics:
             if m.name in contribs:

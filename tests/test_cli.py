@@ -73,6 +73,18 @@ def test_train_then_test_cli(tmp_path, rng):
     results = json.loads(r.stdout.strip().splitlines()[-1])
     assert "ADE_T" in results and np.isfinite(results["ADE_T"])
 
+    # --wire is exact: the wire-format eval must reproduce the plain
+    # run's metrics bit-for-bit (same key stream, same data order)
+    r = subprocess.run(
+        [sys.executable, "test.py", "-c", cfg, "--ckpt", ckpt, "--wire",
+         "--num-actors", "6", "--num-lanes", "8"],
+        env=ENV, capture_output=True, text=True, timeout=1200,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    wire_results = json.loads(r.stdout.strip().splitlines()[-1])
+    for k in ("ADE_T", "FDE_T", "MR_T"):
+        assert wire_results[k] == results[k], (k, wire_results, results)
+
     # OOD scoring path end-to-end (--only-agent exercises the
     # stds_full/viz interaction: viz must get FULL-actor stds even when
     # metrics are agent-filtered)

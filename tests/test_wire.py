@@ -71,6 +71,23 @@ def test_pack_unpack_with_none_fields():
     _assert_scene_equal(back, scene)
 
 
+def test_pack_unpack_inline_threshold():
+    """inline_min_bytes leaves big fields native and packs the small
+    tail; roundtrip stays bitwise and lead_shape still tracks group
+    stacking."""
+    scene = _np_scene(seed=9)
+    big = max(np.asarray(x).nbytes for x in jax.tree.leaves(scene))
+    wire = pack_wire(scene, inline_min_bytes=big)  # exactly one inline field
+    assert len(wire.inline) >= 1
+    assert wire.lead_shape == (2,)
+    _assert_scene_equal(jax.jit(unpack_wire)(wire), scene)
+    # stacking adds a lead axis to inline AND packed arrays alike
+    stacked = jax.tree.map(lambda a, b: np.stack([a, b]), wire, wire)
+    assert stacked.lead_shape == (2, 2)
+    back = unpack_wire(stacked)
+    _assert_scene_equal(jax.tree.map(lambda x: np.asarray(x[1]), back), scene)
+
+
 def test_unpack_if_wire_passthrough():
     scene = _np_scene(seed=2)
     assert unpack_if_wire(scene) is scene

@@ -62,32 +62,57 @@ _FIELDS: Tuple[str, ...] = (
 class WireBatch:
     """A ``SceneBatch`` packed into one flat buffer per dtype.
 
-    ``bufs`` maps dtype name → ``[*lead, total]`` array; ``spec`` is
-    static pytree metadata (hashable → one executable per batch format):
-    ``(n_lead, ((field, dtype_name, offset, size, shape_after_lead), …))``.
+    ``bufs`` maps dtype name → ``[*lead, total]`` array; ``inline``
+    holds fields left at their native shapes (see ``inline_min_bytes``);
+    ``spec`` is static pytree metadata (hashable → one executable per
+    batch format):
+    ``(n_lead, ((field, dtype_name, offset, size, shape_after_lead), …))``
+    where ``dtype_name is None`` marks an inline field.
     """
 
     bufs: Dict[str, jax.Array]
+    inline: Dict[str, jax.Array]
     spec: Tuple[int, Tuple[tuple, ...]] = struct.field(pytree_node=False)
 
     @property
     def lead_shape(self) -> Tuple[int, ...]:
-        """The ``[*groups, B]`` leading axes shared by every buffer."""
-        return next(iter(self.bufs.values())).shape[:-1]
+        """The ``[*groups, B]`` leading axes shared by every array.
+
+        Derived from runtime shapes (NOT ``spec``'s pack-time lead count):
+        host-side ``np.stack`` grouping adds lead axes without re-packing,
+        and this property must follow them."""
+        if self.bufs:
+            return next(iter(self.bufs.values())).shape[:-1]
+        _, entries = self.spec
+        name, _, _, _, shape = next(e for e in entries if e[1] is None)
+        arr = self.inline[name]
+        return arr.shape[: arr.ndim - len(shape)]
 
 
-def pack_wire(batch: SceneBatch) -> WireBatch:
-    """Pack a host (numpy) ``SceneBatch`` into per-dtype wire buffers."""
+def pack_wire(batch: SceneBatch, inline_min_bytes: int = 0) -> WireBatch:
+    """Pack a host (numpy) ``SceneBatch`` into per-dtype wire buffers.
+
+    ``inline_min_bytes > 0`` leaves fields of at least that many bytes
+    at their native shapes (their own transfer already amortizes the
+    per-RPC cost) and packs only the long tail of small arrays — that
+    keeps the host-side memcpy pass to ~1/8 of the batch while still
+    collapsing most of the transfer round trips.
+    """
     n_lead = batch.x.ndim - _X_NDIM + 1  # group axes + the scene axis B
     lead = batch.x.shape[:n_lead]
     chunks: Dict[str, list] = {}
     offsets: Dict[str, int] = {}
+    inline: Dict[str, Any] = {}
     entries = []
     for name in _FIELDS:
         arr = getattr(batch, name)
         if arr is None:
             continue
         arr = np.asarray(arr)
+        if inline_min_bytes and arr.nbytes >= inline_min_bytes:
+            inline[name] = arr
+            entries.append((name, None, 0, 0, arr.shape[n_lead:]))
+            continue
         key = arr.dtype.name
         flat = arr.reshape(*lead, -1)
         off = offsets.get(key, 0)
@@ -98,7 +123,7 @@ def pack_wire(batch: SceneBatch) -> WireBatch:
         k: (v[0] if len(v) == 1 else np.concatenate(v, axis=-1))
         for k, v in chunks.items()
     }
-    return WireBatch(bufs=bufs, spec=(n_lead, tuple(entries)))
+    return WireBatch(bufs=bufs, inline=inline, spec=(n_lead, tuple(entries)))
 
 
 def unpack_wire(wire: WireBatch) -> SceneBatch:
@@ -106,6 +131,9 @@ def unpack_wire(wire: WireBatch) -> SceneBatch:
     n_lead, entries = wire.spec
     fields: Dict[str, Any] = {}
     for name, key, off, size, shape in entries:
+        if key is None:
+            fields[name] = wire.inline[name]
+            continue
         buf = wire.bufs[key]
         flat = jax.lax.slice_in_dim(buf, off, off + size, axis=buf.ndim - 1)
         fields[name] = flat.reshape(*buf.shape[:-1], *shape)
