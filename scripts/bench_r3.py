@@ -333,7 +333,9 @@ def main():
     if args.tiny:
         SHAPES.update(bench=(4, 6, 8), prod=(4, 8, 12), iters=2)
         jax.config.update("jax_platforms", "cpu")
-        _cc.set_cache_dir("/tmp/jax_cache_trajsde_cpu")
+        from trajsde_tpu.utils.cache import cpu_cache_dir
+
+        _cc.set_cache_dir(cpu_cache_dir())
     # match bench.py's headline methodology (rbg PRNG, ~1.24x on mask gen)
     jax.config.update("jax_default_prng_impl", "rbg")
     print("device:", jax.devices()[0].device_kind, flush=True)

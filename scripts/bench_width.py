@@ -150,7 +150,9 @@ def main():
     if args.tiny:
         SHAPES.update(bench=(4, 6, 8), iters=2)
         jax.config.update("jax_platforms", "cpu")
-        _cc.set_cache_dir("/tmp/jax_cache_trajsde_cpu")
+        from trajsde_tpu.utils.cache import cpu_cache_dir
+
+        _cc.set_cache_dir(cpu_cache_dir())
     jax.config.update("jax_default_prng_impl", "rbg")
     print("device:", jax.devices()[0].device_kind, flush=True)
     t0 = time.perf_counter()

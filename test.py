@@ -22,8 +22,12 @@ if os.environ.get("TRAJSDE_FORCE_CPU"):
 try:
     from jax.experimental.compilation_cache import compilation_cache as _cc
 
+    from trajsde_tpu.utils.cache import cpu_cache_dir
+
+    # CPU cache dir is ISA-keyed (utils/cache.py): stale cross-boot
+    # XLA:CPU artifacts SIGILL / flake when deserialized
     _cc.set_cache_dir(
-        "/tmp/jax_cache_trajsde_cpu"
+        cpu_cache_dir()
         if os.environ.get("TRAJSDE_FORCE_CPU")
         else "/tmp/jax_cache_trajsde"
     )

@@ -22,8 +22,12 @@ from jax.experimental.compilation_cache import compilation_cache as _cc  # noqa:
 jax.config.update("jax_platforms", "cpu")
 
 # persistent compilation cache: makes repeated test runs fast on the
-# single-CPU CI host (each XLA compile costs ~0.4 s here)
-_cc.set_cache_dir("/tmp/jax_cache_trajsde_cpu")
+# single-CPU CI host (each XLA compile costs ~0.4 s here).  The dir is
+# keyed by host CPU features: XLA:CPU artifacts from a previous VM boot
+# with a different ISA SIGILL / flake when deserialized (utils/cache.py)
+from trajsde_tpu.utils.cache import cpu_cache_dir  # noqa: E402
+
+_cc.set_cache_dir(cpu_cache_dir())
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 

@@ -25,11 +25,14 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 from jax.experimental.compilation_cache import compilation_cache as _cc  # noqa: E402
 
-_cc.set_cache_dir("/tmp/jax_cache_trajsde_cpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 _here = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, os.path.dirname(_here))  # repo root
+
+from trajsde_tpu.utils.cache import cpu_cache_dir  # noqa: E402
+
+_cc.set_cache_dir(cpu_cache_dir())  # ISA-keyed: see utils/cache.py
 sys.path.insert(0, _here)                   # tests/
 
 import numpy as np  # noqa: E402

@@ -152,3 +152,24 @@ def test_reduction_mlp_shapes(rng):
         params["params"][f"Dense_{i}"]["kernel"].shape for i in range(3)
     ]
     assert kernels == [(32, 64), (64, 64), (64, 8)], kernels
+
+
+def test_cpu_cache_dir_is_isa_keyed(tmp_path, monkeypatch):
+    """The CPU compile-cache path must change when the host CPU feature
+    set changes — stale cross-boot XLA:CPU artifacts SIGILL / flake when
+    deserialized (round-4 field observation; utils/cache.py)."""
+    import trajsde_tpu.utils.cache as cache_mod
+
+    here = cache_mod.cpu_cache_dir()
+    assert here.startswith("/tmp/jax_cache_trajsde_cpu_")
+    assert here == cache_mod.cpu_cache_dir()  # deterministic per host
+    other_host = tmp_path / "cpuinfo"
+    other_host.write_text("flags\t\t: fp asimd sve2\n")
+    real_open = open
+    monkeypatch.setattr(
+        "builtins.open",
+        lambda f, *a, **k: real_open(
+            other_host if f == "/proc/cpuinfo" else f, *a, **k
+        ),
+    )
+    assert cache_mod.cpu_cache_dir() != here
