@@ -4,9 +4,12 @@ Isolates the lever behind ``--wire`` (``data/wire.py``): on this
 environment's relayed TPU backend each pytree leaf of a ``device_put``
 is its own transfer RPC, so a ~15-leaf production ``SceneBatch`` pays
 ~15 round trips per batch where the 3-buffer wire format pays 3 (plus a
-host-side memcpy pass to pack).  PERF.md round 4 measured the residual
-e2e overhead at 63 ms/step over the 167 ms device step — this script
-attributes it.
+host-side memcpy pass to pack).  PERF.md round 4 ("Wire-format transfer
+packing") measured the residual e2e overhead at ~21 ms/step over the
+167 ms device step after ``strip_for_device`` (63 ms was the pre-strip
+figure) — this script attributes it.  Verdict on this relayed host:
+NEGATIVE (the relay pipelines per-leaf puts; the pack pass costs host
+CPU) — see PERF.md before re-opening this campaign.
 
 Timing rule (CLAUDE.md): ``block_until_ready`` through the relay can
 return early, so each transfer is closed by a jitted all-leaf reduction

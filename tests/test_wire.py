@@ -93,6 +93,23 @@ def test_unpack_if_wire_passthrough():
     assert unpack_if_wire(scene) is scene
 
 
+def test_device_prefetch_passes_prepacked_wirebatch_through():
+    # ADVICE r4: a caller yielding a host-side (numpy) WireBatch must not
+    # be mistaken for a SceneBatch and stripped (AttributeError on .x) —
+    # the isinstance(item, SceneBatch) guard routes it straight to
+    # device_put.  Pin that contract.
+    from trajsde_tpu.train.loop import device_prefetch
+
+    scene = strip_for_device(_np_scene(seed=3))
+    wire = pack_wire(scene)
+    assert all(isinstance(b, np.ndarray) for b in jax.tree.leaves(wire))
+    out = list(device_prefetch(iter([wire, wire]), wire=True))
+    assert len(out) == 2
+    for item in out:
+        assert isinstance(item, WireBatch)
+        _assert_scene_equal(unpack_wire(item), scene)
+
+
 def test_wire_survives_group_stacking():
     """group_microbatches np.stacks wire batches like plain ones: unpack
     must rebuild the grouped [K, B, ...] field shapes (spec offsets are

@@ -4,8 +4,10 @@ A stripped production ``SceneBatch`` is ~15 separate arrays.  On this
 environment's relayed TPU backend every pytree leaf of a
 ``jax.device_put`` is its own transfer RPC, so the per-leaf round-trip
 overhead — not just the payload bytes — rides the e2e step time (PERF.md
-round 4 "Shard-format production soak": 63 ms/step of residual transfer
-cost over the 167 ms device step).  Real PCIe-attached TPU hosts have the
+round 4 "Wire-format transfer packing": after ``strip_for_device`` the
+residual transfer cost is ~21 ms/step over the 167 ms device step; the
+63 ms figure sometimes quoted is the PRE-strip number and is stale).
+Real PCIe-attached TPU hosts have the
 same shape of cost at a smaller constant (one DMA setup per leaf).
 
 ``pack_wire`` concatenates every populated field onto the trailing axis
@@ -55,6 +57,16 @@ _FIELDS: Tuple[str, ...] = (
     "goal_idcs",
     "has_goal",
     "seq_id",
+)
+
+# Schema-drift guard: pack_wire packs exactly _FIELDS, so a field added to
+# SceneBatch but not listed here would be silently dropped on pack and
+# rebuilt as None on unpack — breaking the "exact by construction"
+# contract without any error.  Fail loudly at import time instead.
+assert set(_FIELDS) == set(SceneBatch.__dataclass_fields__), (
+    "data/wire.py _FIELDS is out of sync with SceneBatch: "
+    f"missing={set(SceneBatch.__dataclass_fields__) - set(_FIELDS)} "
+    f"extra={set(_FIELDS) - set(SceneBatch.__dataclass_fields__)}"
 )
 
 
