@@ -35,6 +35,9 @@ def main() -> None:
     ap.add_argument("--actors", type=int, default=32)
     ap.add_argument("--lanes", type=int, default=64)
     ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--ood", action="store_true",
+                    help="serve with OOD scoring (encoder ensemble stds "
+                         "attached; costs ~eval_iter x the encoder)")
     args = ap.parse_args()
 
     from __graft_entry__ import _build_flagship, _scene
@@ -47,7 +50,7 @@ def main() -> None:
     params = jax.jit(model.init)(
         {"params": jax.random.key(0), "sde": jax.random.key(1)}, init_scene
     )
-    serve = make_serving_fn(model, params)
+    serve = make_serving_fn(model, params, ood=args.ood)
 
     rng = np.random.default_rng(0)
     raw = make_raw_scene(rng, 0, num_actors=args.actors, num_lanes=args.lanes)
@@ -55,7 +58,7 @@ def main() -> None:
     eng = ServingEngine(
         model, params["params"],
         num_actors=args.actors, num_lanes=args.lanes,
-        engine="kernel", batch_buckets=tuple(args.buckets),
+        engine="kernel", batch_buckets=tuple(args.buckets), ood=args.ood,
     )
 
     for b in args.buckets:

@@ -14,8 +14,11 @@ the engine applies the same runtime grid alignment as training.  Outputs
 per scene: ``loc`` (all-actor agent-frame modes, [K, A, Tf, 2]), ``pi``
 (mode logits per actor), ``agent_world`` (focal-agent modes in the scene
 frame, [K, Tf, 2] — the submission payload), ``agent_pi`` (softmax mode
-probabilities).  The deployment analog the reference lacks (its eval
-surface is ``trainer.test`` only, ``/root/reference/test.py:58``).
+probabilities); with ``--ood`` also ``ood_std`` (per-actor OOD scores,
+[A]) and ``agent_std`` (the focal scalar, inlined into daemon/HTTP
+responses).  The deployment analog the reference lacks (its eval
+surface is ``trainer.test`` only, ``/root/reference/test.py:58``; its
+OOD scoring runs only offline through that surface).
 """
 from __future__ import annotations
 
@@ -50,6 +53,12 @@ def main() -> None:
     ap.add_argument("--num-lanes", type=int, default=None)
     ap.add_argument("--warmup", action="store_true",
                     help="compile every batch bucket before serving")
+    ap.add_argument("--ood", action="store_true",
+                    help="attach OOD scores to every prediction (per-actor "
+                         "embedding stds over the encoder's stochastic "
+                         "ensemble; predictions decode from the ensemble "
+                         "mean) — the reference's test.py --ood capability, "
+                         "served live; costs ~eval_iter x the encoder")
     ap.add_argument("--shard", action="store_true",
                     help="shard each batch bucket over all devices "
                          "(data-parallel serving; scan engine splits "
@@ -79,6 +88,9 @@ def main() -> None:
     if args.from_export and args.shard:
         ap.error("--shard cannot partition an export artifact (an opaque "
                  "StableHLO call); use the scan or kernel engines")
+    if args.ood and (args.from_export or args.export):
+        ap.error("--ood needs the live model (the OOD ensemble is not part "
+                 "of an exported pipeline)")
 
     if os.environ.get("TRAJSDE_FORCE_CPU"):
         import jax
@@ -149,7 +161,7 @@ def main() -> None:
             engine=args.engine, increments=args.increments,
             max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
             is_gtabs=is_gtabs, ref_time=ref_time,
-            shard=args.shard,
+            shard=args.shard, ood=args.ood,
         )
 
     if args.export:
@@ -193,11 +205,16 @@ def main() -> None:
 
     def write(result: dict, stem: str) -> str:
         out_path = os.path.join(args.output_dir, f"{stem}_pred.npz")
+        extra = (
+            {"ood_std": result["ood_std"], "agent_std": result["agent_std"]}
+            if "ood_std" in result
+            else {}
+        )
         np.savez(
             out_path,
             loc=result["loc"], pi=result["pi"],
             agent_world=result["agent_world"], agent_pi=result["agent_pi"],
-            seq_id=result["seq_id"],
+            seq_id=result["seq_id"], **extra,
         )
         return out_path
 
@@ -221,9 +238,11 @@ def main() -> None:
                 rid, path, fut = item
                 stem = os.path.splitext(os.path.basename(path))[0]
                 try:
-                    print(json.dumps(
-                        {"id": rid, "out": write(fut.result(), f"{stem}_{rid}")}
-                    ), flush=True)
+                    result = fut.result()
+                    resp = {"id": rid, "out": write(result, f"{stem}_{rid}")}
+                    if "agent_std" in result:  # --ood: inline the focal score
+                        resp["agent_std"] = float(result["agent_std"])
+                    print(json.dumps(resp), flush=True)
                 except Exception as e:
                     print(json.dumps({"id": rid, "error": repr(e)}), flush=True)
 

@@ -82,9 +82,6 @@ def main() -> None:
         "round trips on relayed/remote TPU backends)",
     )
     args = parser.parse_args()
-    if args.serving and args.ood:
-        parser.error("--serving drives the decoder rollout; --ood scores the "
-                     "encoder ensemble — run them separately")
 
     from trajsde_tpu.config import build_model, load_config
     from trajsde_tpu.data.loader import DataModuleNuArgoMix
@@ -143,10 +140,14 @@ def main() -> None:
                 "--serving requires the SDE decoder (the fused rollout "
                 "engine); this config's decoder has no rollout"
             )
+        # --serving --ood composes: the encoder routes through its OOD
+        # ensemble (stds attached, predictions decode from the ensemble
+        # mean) while the decoder rollout stays on the fused kernel
         serve = make_serving_fn(
             model, {"params": state.params},
             interpret=jax.default_backend() != "tpu",
             increments=args.serving_increments,
+            ood=ood,
         )
         dec = model.decoder
         Tf, K, D = dec.future_steps, dec.num_modes, dec.local_channels

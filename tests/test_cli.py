@@ -119,3 +119,15 @@ def test_train_then_test_cli(tmp_path, rng):
     assert abs(serve_results["ADE_T"] - results["ADE_T"]) < max(
         2.0, 0.25 * results["ADE_T"]
     )
+
+    # --serving --ood composes: OOD ensemble scoring through the fused
+    # serving engine (predictions decode from the ensemble mean)
+    r = subprocess.run(
+        [sys.executable, "test.py", "-c", cfg, "--ckpt", ckpt, "--serving",
+         "--ood", "--num-actors", "6", "--num-lanes", "8"],
+        env=ENV, capture_output=True, text=True, timeout=1200,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    so = json.loads(r.stdout.strip().splitlines()[-1])
+    assert "agent_std_mean" in so and so["agent_std_mean"] > 0
+    assert "ADE_T" in so and np.isfinite(so["ADE_T"])

@@ -137,6 +137,85 @@ def test_delta_mode_world_projection(engine_setup, rng):
     np.testing.assert_allclose(r["agent_world"], expect, atol=1e-3)
 
 
+def test_ood_serving_scan_matches_direct(engine_setup, rng):
+    """ood=True attaches per-actor ensemble stds; the engine's (seed,
+    counter) key stream must reproduce the direct model's OOD forward
+    (models/prediction.py ood=True), and predictions must decode from the
+    ensemble-MEAN embedding — the reference eval semantics served live
+    (reference ``test.py --ood`` → ``model_base_mix_sde.py:89-98``)."""
+    model, params = engine_setup
+    eng = _mk_engine(model, params, ood=True, batch_buckets=(1,), seed=11)
+    raw = make_raw_scene(rng, 0, num_actors=5, num_lanes=6)
+    (res,) = eng.predict([raw])
+    eng.close()
+    assert res["ood_std"].shape == (A,)
+    assert np.isfinite(res["ood_std"]).all()
+
+    from trajsde_tpu.data.pack import pack_scenes
+    from trajsde_tpu.server import align_scene, derive_key_data
+
+    scene = pack_scenes([align_scene(raw)[0]], A, L)
+    kd = derive_key_data(11, 1, jax.random.key_data(jax.random.key(0)).shape)
+
+    # jit the direct forward like the engine's pipeline (an eager apply
+    # fuses differently and drifts a few ulps on the SDE paths)
+    @jax.jit
+    def direct(p, s, key_data):
+        return model.apply(
+            {"params": p}, s, ood=True,
+            rngs={"sde": jax.random.wrap_key_data(key_data)},
+        )
+
+    out = direct(params, scene, kd)
+    np.testing.assert_allclose(
+        res["ood_std"], np.asarray(out["stds"][0]), rtol=1e-4, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        res["loc"], np.asarray(out["loc"][0, ..., :2]), rtol=1e-4, atol=1e-5
+    )
+    # the focal scalar is the agent row of the per-actor scores
+    ai = int(np.asarray(scene.agent_index)[0])
+    np.testing.assert_allclose(res["agent_std"], res["ood_std"][ai], rtol=1e-6)
+    assert float(res["agent_std"]) > 0
+
+
+def test_ood_serving_kernel_engine_matches_scan_scores(engine_setup, rng):
+    """The kernel engine's OOD scores come from the same encoder ensemble
+    (the Pallas splice only replaces the decoder rollout) — per-actor stds
+    must match the scan engine's for the same (seed, counter) stream."""
+    model, params = engine_setup
+    raw = make_raw_scene(rng, 1, num_actors=5, num_lanes=6)
+    outs = {}
+    for engine in ("kernel", "scan"):
+        eng = _mk_engine(
+            model, params, engine=engine, ood=True, batch_buckets=(1,), seed=7
+        )
+        (outs[engine],) = eng.predict([raw])
+        eng.close()
+    np.testing.assert_allclose(
+        outs["kernel"]["ood_std"], outs["scan"]["ood_std"], rtol=1e-4, atol=1e-5
+    )
+    assert np.isfinite(outs["kernel"]["loc"]).all()
+
+
+def test_ood_requires_capable_engine(engine_setup):
+    from test_models_forward import make_baseline
+
+    model, params = engine_setup
+    # baseline encoder has no forward_ood → loud NotImplementedError
+    with pytest.raises(NotImplementedError, match="forward_ood"):
+        ServingEngine(
+            make_baseline(), {}, num_actors=A, num_lanes=L,
+            engine="scan", ood=True,
+        )
+    # frozen export artifacts cannot carry the OOD ensemble
+    with pytest.raises(ValueError, match="ood"):
+        ServingEngine(
+            model, params, num_actors=A, num_lanes=L,
+            engine="exported", ood=True,
+        )
+
+
 def test_micro_batcher_groups_and_stats(engine_setup, rng):
     model, params = engine_setup
     eng = _mk_engine(model, params, max_wait_ms=200.0)
@@ -338,6 +417,22 @@ def test_serve_cli_batch_and_daemon(tmp_path, rng):
     assert len(preds) == 4
     d = np.load(os.path.join(out_dir, preds[0]))
     assert d["agent_world"].shape[-1] == 2 and np.isfinite(d["agent_world"]).all()
+
+    # --ood batch mode: every prediction additionally carries the paper's
+    # OOD scores (per-actor ensemble stds + the focal scalar)
+    out_ood = str(tmp_path / "preds_ood")
+    r = subprocess.run(
+        [sys.executable, "serve.py", "-c", cfg, "--ckpt", ckpt,
+         "--input-dir", in_dir, "--output-dir", out_ood,
+         "--num-actors", "6", "--num-lanes", "8", "--max-batch", "4",
+         "--ood"],
+        env=ENV, capture_output=True, text=True, timeout=1200,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    d = np.load(os.path.join(out_ood, sorted(os.listdir(out_ood))[0]))
+    assert d["ood_std"].shape == (6,) and np.isfinite(d["ood_std"]).all()
+    # stochastic-ensemble stds are strictly positive for a real agent
+    assert float(d["agent_std"]) > 0
 
     # daemon mode: two requests over stdin
     reqs = "".join(

@@ -15,7 +15,8 @@ Endpoints:
   preprocessor shard schema; ``Content-Type: application/octet-stream``)
   or JSON ``{"npz": "/local/path.npz"}``.  Response: JSON with ``loc``,
   ``pi``, ``agent_world`` (the submission payload), ``agent_pi``,
-  ``seq_id``.
+  ``seq_id`` — plus ``ood_std``/``agent_std`` when the engine was built
+  with ``ood=True`` (``serve.py --ood``).
 - ``GET /stats`` — engine latency/occupancy counters.
 - ``GET /healthz`` — liveness probe (200 once the engine is up).
 

@@ -33,6 +33,14 @@ this framework adds.  It wraps either serving engine —
   whose count divides the rows); see
   :func:`trajsde_tpu.serving.make_serving_fn`.
 
+- **OOD scoring** (``ood=True``): every served scene also carries the
+  paper's OOD score — per-actor embedding stds over the encoder's
+  ``eval_iter`` stochastic re-runs (``ood_std`` ``[A]`` + the focal
+  ``agent_std`` scalar), with predictions decoded from the ensemble-mean
+  embedding exactly like the eval path (reference ``test.py --ood`` →
+  ``model_base_mix_sde.py:89-98``; the reference can only score OOD
+  offline through ``trainer.test``).
+
 Single-scene use is ``predict([raw_scene])``; concurrent producers use
 ``submit(raw_scene) -> Future``.  Raw scenes are preprocessor-output
 dicts (the ``.npz`` shard schema) — the engine applies the SAME runtime
@@ -126,8 +134,15 @@ def make_postprocess(is_gtabs: bool, ref_time: int):
             + origin[:, None, None]
         )
         pi = jax.nn.softmax(gather_agent(out["pi"], idx, axis=1), axis=-1)  # [B, K]
-        return {"loc": loc, "pi_all": out["pi"], "agent_world": world,
-                "agent_pi": pi}
+        res = {"loc": loc, "pi_all": out["pi"], "agent_world": world,
+               "agent_pi": pi}
+        if "stds" in out:  # OOD mode: per-actor scores + the focal scalar
+            # f32 scores regardless of the model's compute dtype: the
+            # npz writers downstream can't serialize ml_dtypes bf16
+            stds = out["stds"].astype(jnp.float32)
+            res["stds"] = stds
+            res["agent_std"] = gather_agent(stds, idx, axis=1)
+        return res
 
     return _postprocess
 
@@ -163,6 +178,7 @@ class ServingEngine:
         ref_time: int = 20,
         shard: bool = False,
         seed: int = 0,
+        ood: bool = False,
     ) -> None:
         if engine == "auto":
             from trajsde_tpu.models.decoders import SDEDecoder
@@ -185,6 +201,17 @@ class ServingEngine:
                 "(an opaque StableHLO call); re-export per topology or use "
                 "the 'scan'/'kernel' engines"
             )
+        if ood and engine == "exported":
+            raise ValueError(
+                "ood=True needs the live model (the OOD ensemble is not part "
+                "of an exported pipeline); use the 'scan'/'kernel' engines"
+            )
+        if ood and not hasattr(model.encoder, "forward_ood"):
+            raise NotImplementedError(
+                f"ood=True needs an encoder with forward_ood (OOD ensemble "
+                f"scoring); {type(model.encoder).__name__} has none"
+            )
+        self.ood = ood
         self.engine = engine
         self.num_actors = num_actors
         self.num_lanes = num_lanes
@@ -249,6 +276,7 @@ class ServingEngine:
                     interpret=jax.default_backend() != "tpu",
                     increments=increments,
                     mesh=mesh,
+                    ood=ood,
                 )
 
                 @jax.jit
@@ -281,7 +309,7 @@ class ServingEngine:
             @jax.jit
             def _fwd(scene, key_data):
                 key = jax.random.wrap_key_data(key_data)
-                out = model.apply({"params": params}, scene,
+                out = model.apply({"params": params}, scene, ood=ood,
                                   rngs={"sde": key})
                 return post(scene, out)
 
@@ -446,15 +474,17 @@ class ServingEngine:
                 self._t_last = now
         results = []
         for i in range(n):
-            results.append(
-                {
-                    "loc": post["loc"][i],
-                    "pi": post["pi_all"][i],
-                    "agent_world": post["agent_world"][i],
-                    "agent_pi": post["agent_pi"][i],
-                    "seq_id": np.int32(aligned_scenes[i][1]),
-                }
-            )
+            r = {
+                "loc": post["loc"][i],
+                "pi": post["pi_all"][i],
+                "agent_world": post["agent_world"][i],
+                "agent_pi": post["agent_pi"][i],
+                "seq_id": np.int32(aligned_scenes[i][1]),
+            }
+            if self.ood:
+                r["ood_std"] = post["stds"][i]          # [A] per-actor score
+                r["agent_std"] = post["agent_std"][i]   # focal-agent scalar
+            results.append(r)
         return results
 
     def _run(self) -> None:

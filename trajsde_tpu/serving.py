@@ -25,11 +25,21 @@ def make_serving_fn(
     unroll: int = 10,
     increments: str = "rademacher",
     mesh=None,
+    ood: bool = False,
 ):
     """Build ``serve(scene, key, seed) -> output dict`` (jitted).
 
     ``key`` drives the encoder's SDE path; ``seed`` (int32) seeds the
     decoder kernel's on-core PRNG (pass explicit noise only in tests).
+
+    ``ood=True`` routes the encoder through its OOD ensemble scoring
+    (``eval_iter`` stochastic re-runs, per-actor embedding stds — the
+    reference's ``test.py --ood`` capability,
+    ``enc_hivt_nusargo_sde_sep2.py:204-314``) and attaches ``stds``
+    ``[B, A]`` to the output; predictions decode from the ensemble-MEAN
+    embedding, exactly like the eval path
+    (``models/prediction.py`` ``ood=True``).  Costs ~``eval_iter``×
+    the encoder's share of the forward.
 
     ``increments='rademacher'`` (default) uses two-point ±√dt increments —
     weak order 1 like Euler–Maruyama itself, transcendental-free, and
@@ -69,6 +79,11 @@ def make_serving_fn(
             "the Pallas serving rollout hardcodes sde_layers=2 "
             f"(decoder has {decoder.sde_layers}); use the scan engine"
         )
+    if ood and not hasattr(model.encoder, "forward_ood"):
+        raise NotImplementedError(
+            f"ood=True needs an encoder with forward_ood (OOD ensemble "
+            f"scoring); {type(model.encoder).__name__} has none"
+        )
     kp = rollout_params_from_linen(params["params"]["decoder"]["sde_rollout"])
     t0s, dts = decoder.time_grid()
     Tf = decoder.future_steps
@@ -105,8 +120,14 @@ def make_serving_fn(
         return shmap(_shard, (P(axis), P(), P(None, axis)))(y0r, seed, noise)
 
     def method(m, scene: SceneBatch, seed, noise):
-        enc_out = m.encoder(scene, True)
-        local = enc_out[0] if isinstance(enc_out, tuple) else enc_out
+        if ood:
+            # predictions decode from the ensemble-MEAN embedding, like
+            # the eval path (models/prediction.py ood=True; reference
+            # model_base_mix_sde.py:89-98)
+            local, stds = m.encoder.forward_ood(scene, True)
+        else:
+            enc_out = m.encoder(scene, True)
+            local = enc_out[0] if isinstance(enc_out, tuple) else enc_out
         glob = m.aggregator(scene, local, True)
         y0 = m.decoder.fuse(scene, local, glob)
         B, F, A, D = y0.shape
@@ -122,6 +143,8 @@ def make_serving_fn(
         # rotated targets like the training forward — lets the eval CLI
         # compute metrics through the serving engine (``--serving``)
         out["y"] = m._rotated_y(scene)
+        if ood:
+            out["stds"] = stds
         return out
 
     @jax.jit
