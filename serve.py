@@ -59,6 +59,12 @@ def main() -> None:
                          "ensemble; predictions decode from the ensemble "
                          "mean) — the reference's test.py --ood capability, "
                          "served live; costs ~eval_iter x the encoder")
+    ap.add_argument("--slim", action="store_true",
+                    help="serve only the focal-agent fields (agent_world/"
+                         "agent_pi + OOD scores): the jitted pipeline skips "
+                         "fetching the dense per-actor grids (~35 MiB -> "
+                         "~1 MiB per 128-scene batch) — the recommended "
+                         "mode for a daemon under load")
     ap.add_argument("--shard", action="store_true",
                     help="shard each batch bucket over all devices "
                          "(data-parallel serving; scan engine splits "
@@ -91,6 +97,10 @@ def main() -> None:
     if args.ood and (args.from_export or args.export):
         ap.error("--ood needs the live model (the OOD ensemble is not part "
                  "of an exported pipeline)")
+    if args.slim and (args.from_export or args.export):
+        ap.error("--slim cannot shrink an exported pipeline's outputs "
+                 "(the StableHLO artifact is frozen with the full result "
+                 "set); use the scan or kernel engines")
 
     if os.environ.get("TRAJSDE_FORCE_CPU"):
         import jax
@@ -161,7 +171,7 @@ def main() -> None:
             engine=args.engine, increments=args.increments,
             max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
             is_gtabs=is_gtabs, ref_time=ref_time,
-            shard=args.shard, ood=args.ood,
+            shard=args.shard, ood=args.ood, slim=args.slim,
         )
 
     if args.export:
@@ -204,18 +214,10 @@ def main() -> None:
         engine.warmup(example_raw)
 
     def write(result: dict, stem: str) -> str:
+        # --slim results carry no per-actor loc/pi grids: dump whatever
+        # fields the engine produced (agent_world/agent_pi/seq_id always)
         out_path = os.path.join(args.output_dir, f"{stem}_pred.npz")
-        extra = (
-            {"ood_std": result["ood_std"], "agent_std": result["agent_std"]}
-            if "ood_std" in result
-            else {}
-        )
-        np.savez(
-            out_path,
-            loc=result["loc"], pi=result["pi"],
-            agent_world=result["agent_world"], agent_pi=result["agent_pi"],
-            seq_id=result["seq_id"], **extra,
-        )
+        np.savez(out_path, **result)
         return out_path
 
     if args.daemon:

@@ -216,6 +216,56 @@ def test_ood_requires_capable_engine(engine_setup):
         )
 
 
+def test_slim_results_match_full(engine_setup, rng):
+    """slim=True returns only the focal-agent fields, numerically equal to
+    the full engine's (same (seed, counter) key stream): the dense
+    per-actor grids are dropped from the jitted pipeline's OUTPUT, not
+    from the math agent_world gathers from."""
+    model, params = engine_setup
+    scenes = [make_raw_scene(rng, s % 2, num_actors=5, num_lanes=6) for s in range(3)]
+    full = _mk_engine(model, params, seed=11)
+    slim = _mk_engine(model, params, seed=11, slim=True)
+    try:
+        a = full.predict(scenes)
+        b = slim.predict(scenes)
+    finally:
+        full.close()
+        slim.close()
+    for ra, rb in zip(a, b):
+        assert "loc" not in rb and "pi" not in rb
+        assert "loc" in ra and "pi" in ra
+        np.testing.assert_allclose(rb["agent_world"], ra["agent_world"], atol=1e-5)
+        np.testing.assert_allclose(rb["agent_pi"], ra["agent_pi"], atol=1e-6)
+        assert int(rb["seq_id"]) == int(ra["seq_id"])
+
+
+def test_slim_keeps_ood_scores(engine_setup, rng):
+    model, params = engine_setup
+    eng = _mk_engine(model, params, slim=True, ood=True)
+    try:
+        (r,) = eng.predict([make_raw_scene(rng, 0, num_actors=5, num_lanes=6)])
+    finally:
+        eng.close()
+    assert "loc" not in r
+    assert r["ood_std"].shape == (A,) and np.isfinite(r["agent_std"])
+
+
+def test_slim_rejects_exported_engine(engine_setup):
+    """An export artifact's StableHLO pipeline is frozen with the full
+    result set; slim=True must refuse it loudly."""
+    model, params = engine_setup
+
+    class _FakeExport:
+        manifest = {"key_data": {"shape": (2,)}}
+        decoder = model.decoder
+
+    with pytest.raises(ValueError, match="slim"):
+        ServingEngine(
+            _FakeExport(), None, num_actors=A, num_lanes=L,
+            engine="exported", batch_buckets=(1, 2, 4), slim=True,
+        )
+
+
 def test_micro_batcher_groups_and_stats(engine_setup, rng):
     model, params = engine_setup
     eng = _mk_engine(model, params, max_wait_ms=200.0)
@@ -352,6 +402,23 @@ def test_http_endpoint(engine_setup, rng):
             world = np.asarray(res["agent_world"])
             assert world.shape == (K, Tf, 2) and np.isfinite(world).all()
             np.testing.assert_allclose(np.sum(res["agent_pi"]), 1.0, rtol=1e-5)
+
+        # binary result path: Accept: application/x-npz → npz bytes (the
+        # cheap-encode bulk-client path)
+        raw = make_raw_scene(rng, 0, num_actors=5, num_lanes=6)
+        buf = io.BytesIO()
+        np.savez(buf, **raw)
+        req = urllib.request.Request(
+            f"{base}/predict", data=buf.getvalue(),
+            headers={"Content-Type": "application/octet-stream",
+                     "Accept": "application/x-npz"},
+        )
+        with urllib.request.urlopen(req, timeout=300) as r:
+            assert r.headers["Content-Type"] == "application/x-npz"
+            with np.load(io.BytesIO(r.read())) as z:
+                assert z["agent_world"].shape == (K, Tf, 2)
+                assert np.isfinite(z["agent_world"]).all()
+                assert z["loc"].shape == (K, A, Tf, 2)  # full engine
 
         with urllib.request.urlopen(f"{base}/stats", timeout=30) as r:
             st = _json.loads(r.read())

@@ -13,12 +13,22 @@ Endpoints:
 
 - ``POST /predict`` — body is either a raw ``.npz`` scene (the
   preprocessor shard schema; ``Content-Type: application/octet-stream``)
-  or JSON ``{"npz": "/local/path.npz"}``.  Response: JSON with ``loc``,
-  ``pi``, ``agent_world`` (the submission payload), ``agent_pi``,
-  ``seq_id`` — plus ``ood_std``/``agent_std`` when the engine was built
-  with ``ood=True`` (``serve.py --ood``).
+  or JSON ``{"npz": "/local/path.npz"}``.  Response: JSON with the
+  engine's result fields — ``agent_world`` (the submission payload),
+  ``agent_pi``, ``seq_id``, plus ``loc``/``pi`` (the dense per-actor
+  grids) unless the engine was built ``slim`` (``serve.py --slim``),
+  plus ``ood_std``/``agent_std`` when it was built with ``ood=True``
+  (``serve.py --ood``).  Clients that want the arrays without the JSON
+  float-text cost send ``Accept: application/x-npz`` and get the same
+  result as ``.npz`` bytes (measured ~40× cheaper to encode than the
+  full-grid JSON on this host — PERF.md round 5).
 - ``GET /stats`` — engine latency/occupancy counters.
 - ``GET /healthz`` — liveness probe (200 once the engine is up).
+
+Deployment guidance: the full-grid JSON body is ~1.3 MiB and costs
+~300 ms of single-core encode time per scene; a daemon meant to sustain
+load should run ``--slim`` (25 KB JSON) and bulk clients should prefer
+``Accept: application/x-npz``.
 
 Start via ``serve.py --http PORT`` (see there for engine/artifact
 options) or embed with :func:`make_http_server`.
@@ -72,6 +82,22 @@ def make_http_server(engine, host: str = "127.0.0.1", port: int = 0):
             self.end_headers()
             self.wfile.write(body)
 
+        def _reply_npz(self, result: dict) -> None:
+            # binary result path: npz encode is ~40× cheaper than the
+            # float-text JSON of the same arrays on this host
+            buf = io.BytesIO()
+            np.savez(buf, **{
+                k: np.asarray(v, np.float32)
+                if np.asarray(v).dtype.kind not in "iub" else np.asarray(v)
+                for k, v in result.items()
+            })
+            body = buf.getvalue()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/x-npz")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
         def do_GET(self):  # noqa: N802
             if self.path == "/healthz":
                 self._reply(200, {"status": "ok"})
@@ -112,7 +138,11 @@ def make_http_server(engine, host: str = "127.0.0.1", port: int = 0):
                 # park on the future: the engine's micro-batcher groups
                 # this with every other thread currently waiting
                 result = engine.submit(scene).result()
-                self._reply(200, _json_ready(result))
+                accept = (self.headers.get("Accept") or "").lower()
+                if "application/x-npz" in accept:
+                    self._reply_npz(result)
+                else:
+                    self._reply(200, _json_ready(result))
             except Exception as e:
                 self._reply(500, {"error": repr(e)})
 

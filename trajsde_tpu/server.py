@@ -33,6 +33,15 @@ this framework adds.  It wraps either serving engine —
   whose count divides the rows); see
   :func:`trajsde_tpu.serving.make_serving_fn`.
 
+- **slim results** (``slim=True``): the jitted pipeline returns (and the
+  host fetches) only the focal-agent fields — ``agent_world``,
+  ``agent_pi`` (+ OOD scores) — instead of the dense ``[B,K,A,Tf,2]``
+  per-actor grids; at production capacity that is ~1 MiB instead of
+  ~35 MiB of device→host result traffic per 128-scene batch, the
+  binding stage on a relay-attached host (PERF.md round 5).  Default
+  off: in-process consumers (``test.py --serving`` metrics, batch-mode
+  npz dumps) want the full grids.
+
 - **OOD scoring** (``ood=True``): every served scene also carries the
   paper's OOD score — per-actor embedding stds over the encoder's
   ``eval_iter`` stochastic re-runs (``ood_std`` ``[A]`` + the focal
@@ -99,7 +108,7 @@ def mix_seed(seed: int, counter: int) -> int:
     return x & 0x7FFFFFFF
 
 
-def make_postprocess(is_gtabs: bool, ref_time: int):
+def make_postprocess(is_gtabs: bool, ref_time: int, slim: bool = False):
     """Focal-agent world-frame projection — the submission math shared by
     ``test.py --submit`` and the serving engine: agent modes rotated back
     out of the agent frame and offset by the reference-time origin.
@@ -111,6 +120,14 @@ def make_postprocess(is_gtabs: bool, ref_time: int):
     them and multiplies nuScenes rows back to meters before adding the
     meter-space origin.  The returned ``loc`` stays in grid space
     (cumulative absolute), consistent with what metrics consume.
+
+    ``slim=True`` drops the dense per-actor grids (``loc`` ``[B,K,A,Tf,2]``
+    and ``pi_all``) from the RETURNED dict so the jitted pipeline fetches
+    only the focal-agent fields — at B=128/A=48 that shrinks the
+    device→host result from ~35 MiB to ~1 MiB per batch, which on a
+    relay-attached host is the difference between transfer-bound and
+    device-bound serving (PERF.md round 5).  The on-device math is
+    unchanged (``agent_world`` still gathers from the full grid).
     """
     from trajsde_tpu.train.loop import gather_agent
 
@@ -134,8 +151,10 @@ def make_postprocess(is_gtabs: bool, ref_time: int):
             + origin[:, None, None]
         )
         pi = jax.nn.softmax(gather_agent(out["pi"], idx, axis=1), axis=-1)  # [B, K]
-        res = {"loc": loc, "pi_all": out["pi"], "agent_world": world,
-               "agent_pi": pi}
+        res = {"agent_world": world, "agent_pi": pi}
+        if not slim:
+            res["loc"] = loc
+            res["pi_all"] = out["pi"]
         if "stds" in out:  # OOD mode: per-actor scores + the focal scalar
             # f32 scores regardless of the model's compute dtype: the
             # npz writers downstream can't serialize ml_dtypes bf16
@@ -179,6 +198,7 @@ class ServingEngine:
         shard: bool = False,
         seed: int = 0,
         ood: bool = False,
+        slim: bool = False,
     ) -> None:
         if engine == "auto":
             from trajsde_tpu.models.decoders import SDEDecoder
@@ -206,12 +226,19 @@ class ServingEngine:
                 "ood=True needs the live model (the OOD ensemble is not part "
                 "of an exported pipeline); use the 'scan'/'kernel' engines"
             )
+        if slim and engine == "exported":
+            raise ValueError(
+                "slim=True cannot shrink a deserialized export artifact's "
+                "outputs (the StableHLO pipeline is frozen with the full "
+                "result set); use the 'scan'/'kernel' engines"
+            )
         if ood and not hasattr(model.encoder, "forward_ood"):
             raise NotImplementedError(
                 f"ood=True needs an encoder with forward_ood (OOD ensemble "
                 f"scoring); {type(model.encoder).__name__} has none"
             )
         self.ood = ood
+        self.slim = slim
         self.engine = engine
         self.num_actors = num_actors
         self.num_lanes = num_lanes
@@ -267,7 +294,7 @@ class ServingEngine:
 
             dec = model.decoder
             self._kdims = (dec.future_steps, dec.num_modes, dec.local_channels)
-            post = make_postprocess(self.is_gtabs, self._ref_time)
+            post = make_postprocess(self.is_gtabs, self._ref_time, slim=slim)
 
             def _make_kserve(mesh):
                 base = make_serving_fn(
@@ -304,7 +331,7 @@ class ServingEngine:
                 self._serve = _make_kserve(None)
         else:
             self._params = params
-            post = make_postprocess(self.is_gtabs, self._ref_time)
+            post = make_postprocess(self.is_gtabs, self._ref_time, slim=slim)
 
             @jax.jit
             def _fwd(scene, key_data):
@@ -440,9 +467,13 @@ class ServingEngine:
         n = len(aligned_scenes)
         bucket = pick_bucket(n, self.buckets)
         aligned = [a for a, _ in aligned_scenes]
-        # padding copies are already aligned — duplicate, don't re-align
+        # padding copies are already aligned — duplicate, don't re-align.
+        # use_native routes the gather-copy loop through the C++ packer
+        # when its library is built (same default as the training loader;
+        # measured 63→38 ms per 128-scene bucket on this host)
         padded = aligned + [aligned[-1]] * (bucket - n)
-        scene = pack_scenes(padded, self.num_actors, self.num_lanes)
+        scene = pack_scenes(padded, self.num_actors, self.num_lanes,
+                            use_native=True)
         if bucket in self._meshes:
             scene = self._mesh_lib.shard_batch(scene, self._meshes[bucket])
         # everything random is derived host-side from (seed, counter): the
@@ -475,12 +506,13 @@ class ServingEngine:
         results = []
         for i in range(n):
             r = {
-                "loc": post["loc"][i],
-                "pi": post["pi_all"][i],
                 "agent_world": post["agent_world"][i],
                 "agent_pi": post["agent_pi"][i],
                 "seq_id": np.int32(aligned_scenes[i][1]),
             }
+            if not self.slim:
+                r["loc"] = post["loc"][i]
+                r["pi"] = post["pi_all"][i]
             if self.ood:
                 r["ood_std"] = post["stds"][i]          # [A] per-actor score
                 r["agent_std"] = post["agent_std"][i]   # focal-agent scalar
