@@ -81,17 +81,28 @@ def main() -> None:
     print(json.dumps({"engine_kind": engines["full"].engine,
                       "backend": jax.default_backend()}))
 
-    # host-stage microcosts at this shape, for the stage split
+    # host-stage microcosts at this shape, for the stage split.  Warm
+    # each stage once first: the first pack on the TPU backend includes
+    # the relay handshake / transfer setup (measured 1010 ms cold vs
+    # ~60 ms warm at this shape) and would poison the stage split
     aligned = [align_scene(s)[0] for s in scenes]
     t0 = time.perf_counter()
     for s in scenes:
         align_scene(s)
     align_ms = (time.perf_counter() - t0) * 1e3
+    pack_scenes(aligned, A, L, use_native=True)  # warm
+    reps = 3
     t0 = time.perf_counter()
-    pack_scenes(aligned, A, L, use_native=True)
-    pack_ms = (time.perf_counter() - t0) * 1e3
+    for _ in range(reps):
+        pack_scenes(aligned, A, L, use_native=True)
+    pack_ms = (time.perf_counter() - t0) / reps * 1e3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        pack_scenes(aligned, A, L, use_native=True, as_jax=False)
+    pack_host_ms = (time.perf_counter() - t0) / reps * 1e3
     print(json.dumps({"align_ms_per_batch": round(align_ms, 1),
-                      "pack_native_ms_per_batch": round(pack_ms, 1)}))
+                      "pack_device_ms_per_batch": round(pack_ms, 1),
+                      "pack_hostonly_ms_per_batch": round(pack_host_ms, 1)}))
 
     for eng in engines.values():
         eng.predict(scenes)  # compile + warm
