@@ -124,6 +124,28 @@ def main() -> None:
             "rounds_ms": [round(t * 1e3, 1) for t in ts],
         }))
 
+    # pipeline A/B: bulk predict over 4 chunks of B — serial vs one batch
+    # in flight (slim engine, interleaved in this same process)
+    bulk = scenes * 4
+    eng = engines["slim"]
+    ptimes: dict = {"serial": [], "pipelined": []}
+    for r in range(max(3, args.rounds // 2)):
+        for name, flag in (("serial", False), ("pipelined", True)):
+            t0 = time.perf_counter()
+            out = eng.predict(bulk, pipeline=flag)
+            dt = time.perf_counter() - t0
+            assert len(out) == len(bulk)
+            ptimes[name].append(dt)
+    for name, ts in ptimes.items():
+        med = float(np.median(ts)) * 1e3
+        print(json.dumps({
+            "mode": f"bulk_{name}",
+            "chunks": 4,
+            "e2e_ms_per_chunk": round(med / 4, 2),
+            "e2e_scenes_per_sec": round(len(bulk) / (med / 1e3), 1),
+            "rounds_ms": [round(t * 1e3, 1) for t in ts],
+        }))
+
     if args.http:
         import io
         import urllib.request

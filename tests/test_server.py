@@ -67,6 +67,25 @@ def test_predict_is_deterministic_per_counter(engine_setup, rng):
         np.testing.assert_array_equal(a["agent_world"], b["agent_world"])
 
 
+def test_predict_pipeline_matches_serial(engine_setup, rng):
+    """Pipelined bulk predict (one batch in flight, default) must be
+    bit-equal to the serial path: identical chunking, bucket choice, and
+    (seed, counter) key stream — only the host/device overlap differs."""
+    model, params = engine_setup
+    scenes = [make_raw_scene(rng, s % 2, num_actors=5, num_lanes=6)
+              for s in range(7)]  # max_batch=2 → 4 chunks, last ragged
+    outs = []
+    for pipeline in (False, True):
+        eng = _mk_engine(model, params, seed=5, max_batch=2)
+        outs.append(eng.predict(scenes, pipeline=pipeline))
+        eng.close()
+    assert len(outs[0]) == len(outs[1]) == 7
+    for a, b in zip(*outs):
+        np.testing.assert_array_equal(a["loc"], b["loc"])
+        np.testing.assert_array_equal(a["agent_world"], b["agent_world"])
+        assert int(a["seq_id"]) == int(b["seq_id"])
+
+
 def test_agent_world_frame_round_trip(engine_setup, rng):
     """agent_world must be the agent-frame modes rotated by the agent's
     heading and offset by its reference-time position (``test.py``'s

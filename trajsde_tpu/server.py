@@ -33,6 +33,13 @@ this framework adds.  It wraps either serving engine —
   whose count divides the rows); see
   :func:`trajsde_tpu.serving.make_serving_fn`.
 
+- **pipelined bulk predict**: ``predict`` keeps one batch in flight —
+  batch ``i+1`` is aligned/packed/dispatched before batch ``i``'s
+  results are fetched (JAX dispatch is async; only ``device_get``
+  blocks), overlapping the host stages and the result transfer with the
+  device's compute.  Exact (same chunking, buckets, key stream;
+  ``pipeline=False`` restores the serial path).
+
 - **slim results** (``slim=True``): the jitted pipeline returns (and the
   host fetches) only the focal-agent fields — ``agent_world``,
   ``agent_pi`` (+ OOD scores) — instead of the dense ``[B,K,A,Tf,2]``
@@ -387,13 +394,32 @@ class ServingEngine:
             seed=seed,
         )
 
-    def predict(self, raw_scenes: List[Dict[str, np.ndarray]]) -> List[Dict]:
-        """Synchronous batched prediction (pads to the covering bucket)."""
+    def predict(self, raw_scenes: List[Dict[str, np.ndarray]],
+                pipeline: bool = True) -> List[Dict]:
+        """Synchronous batched prediction (pads to the covering bucket).
+
+        ``pipeline=True`` (default) keeps ONE batch in flight: batch
+        ``i+1`` is aligned, packed, and dispatched before batch ``i``'s
+        results are fetched, so the host stages (align + pack + result
+        assembly) and the device→host result transfer overlap the
+        device's compute of the next batch — JAX dispatch is async, only
+        ``device_get`` blocks.  Exact: batch boundaries, bucket choice,
+        and the (seed, counter) key stream are identical either way.
+        """
         out: List[Dict] = []
+        pending = None  # (aligned_scenes, in-flight device results)
         for i in range(0, len(raw_scenes), self.max_batch):
             aligned = [self._align_scene(s)
                        for s in raw_scenes[i : i + self.max_batch]]
-            out.extend(self._run_batch(aligned))
+            if not pipeline:
+                out.extend(self._run_batch(aligned))
+                continue
+            handle = self._dispatch_batch(aligned)
+            if pending is not None:
+                out.extend(self._collect_batch(*pending))
+            pending = (aligned, handle)
+        if pending is not None:
+            out.extend(self._collect_batch(*pending))
         return out
 
     def submit(self, raw_scene: Dict[str, np.ndarray]) -> Future:
@@ -464,6 +490,14 @@ class ServingEngine:
     def _run_batch(
         self, aligned_scenes: List[Tuple[Dict, int]], record: bool = True
     ) -> List[Dict]:
+        return self._collect_batch(
+            aligned_scenes, self._dispatch_batch(aligned_scenes), record
+        )
+
+    def _dispatch_batch(self, aligned_scenes: List[Tuple[Dict, int]]):
+        """Pack and dispatch one batch; returns the in-flight device
+        results WITHOUT blocking (JAX dispatch is async) so a caller can
+        overlap the next batch's host stages with this one's compute."""
         n = len(aligned_scenes)
         bucket = pick_bucket(n, self.buckets)
         aligned = [a for a, _ in aligned_scenes]
@@ -492,9 +526,15 @@ class ServingEngine:
                     (Tf, bucket * K * self.num_actors, D), np.float32
                 )
             serve = self._serve if self._serve is not None else self._kserves[bucket]
-            post = jax.device_get(serve(scene, kd, seed, noise))
-        else:
-            post = jax.device_get(self._serve(scene, kd))
+            return serve(scene, kd, seed, noise)
+        return self._serve(scene, kd)
+
+    def _collect_batch(
+        self, aligned_scenes: List[Tuple[Dict, int]], in_flight,
+        record: bool = True,
+    ) -> List[Dict]:
+        n = len(aligned_scenes)
+        post = jax.device_get(in_flight)
         if record:
             now = time.perf_counter()
             with self._lock:
