@@ -240,44 +240,6 @@ def main() -> None:
     except Exception as e:
         record["serving_error"] = repr(e)[:200]
 
-    # serving END-TO-END: ServingEngine.predict — align → C++ pack → one
-    # dispatch → slim result fetch → assembly (the deployed hot path;
-    # slim is the recommended daemon mode, PERF.md round 5).  Individual
-    # wall-clock predict calls: the measured quantity IS the host+transfer
-    # path the device-only number above excludes.
-    try:
-        from trajsde_tpu.data.synthetic import make_raw_scene
-        from trajsde_tpu.server import ServingEngine
-
-        SE_ROUNDS = 2 if os.environ.get("TRAJSDE_BENCH_TINY") else 5
-        rng = np.random.default_rng(3)
-        raw = [
-            make_raw_scene(rng, s % 2, num_actors=max(2, ACTORS - 8),
-                           num_lanes=max(2, LANES - 16))
-            for s in range(BATCH)
-        ]
-        eng = ServingEngine(
-            model, state.params, num_actors=ACTORS, num_lanes=LANES,
-            engine="auto", batch_buckets=(BATCH,), max_batch=BATCH,
-            seed=3, slim=True,
-        )
-        try:
-            eng.predict(raw)  # compile + relay warm
-            ts = []
-            for _ in range(SE_ROUNDS):
-                t0 = time.perf_counter()
-                out = eng.predict(raw)
-                ts.append(time.perf_counter() - t0)
-            assert len(out) == BATCH
-            assert np.isfinite(out[0]["agent_world"]).all()
-            sed = float(np.median(ts))
-            record["serving_e2e_ms_per_batch"] = round(sed * 1000, 2)
-            record["serving_e2e_scenes_per_sec"] = round(BATCH / sed, 1)
-        finally:
-            eng.close()
-    except Exception as e:
-        record["serving_e2e_error"] = repr(e)[:200]
-
     # end-to-end training throughput: packed-shard loader → threaded
     # device_prefetch → per-batch train step at production capacity (the
     # real pipeline a user runs, VERDICT r3 item #3).  Steps dispatch
@@ -335,6 +297,48 @@ def main() -> None:
             record["e2e_scenes_per_sec"] = round(PROD_BATCH * n / edt, 1)
     except Exception as e:
         record["e2e_error"] = repr(e)[:200]
+
+    # serving END-TO-END: ServingEngine.predict — align → C++ pack → one
+    # dispatch → slim result fetch → assembly (the deployed hot path;
+    # slim is the recommended daemon mode, PERF.md round 5).  Individual
+    # wall-clock predict calls: the measured quantity IS the host+transfer
+    # path the device-only number above excludes.  Runs LAST: the engine's
+    # resident executables/buffers measurably degrade the production-shape
+    # train step (e2e 175->330 ms/step when this ran before it — the
+    # training segments must see the same device state as a training run).
+    try:
+        from trajsde_tpu.data.synthetic import make_raw_scene
+        from trajsde_tpu.server import ServingEngine
+
+        SE_ROUNDS = 2 if os.environ.get("TRAJSDE_BENCH_TINY") else 5
+        rng = np.random.default_rng(3)
+        raw = [
+            make_raw_scene(rng, s % 2, num_actors=max(2, ACTORS - 8),
+                           num_lanes=max(2, LANES - 16))
+            for s in range(BATCH)
+        ]
+        eng = ServingEngine(
+            model, state.params, num_actors=ACTORS, num_lanes=LANES,
+            engine="auto", batch_buckets=(BATCH,), max_batch=BATCH,
+            seed=3, slim=True,
+        )
+        try:
+            eng.predict(raw)  # compile + relay warm
+            ts = []
+            for _ in range(SE_ROUNDS):
+                t0 = time.perf_counter()
+                out = eng.predict(raw)
+                ts.append(time.perf_counter() - t0)
+            assert len(out) == BATCH
+            assert np.isfinite(out[0]["agent_world"]).all()
+            sed = float(np.median(ts))
+            record["serving_e2e_ms_per_batch"] = round(sed * 1000, 2)
+            record["serving_e2e_scenes_per_sec"] = round(BATCH / sed, 1)
+        finally:
+            eng.close()
+    except Exception as e:
+        record["serving_e2e_error"] = repr(e)[:200]
+
 
     print(json.dumps(record))
 
