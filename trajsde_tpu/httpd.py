@@ -20,8 +20,8 @@ Endpoints:
   plus ``ood_std``/``agent_std`` when it was built with ``ood=True``
   (``serve.py --ood``).  Clients that want the arrays without the JSON
   float-text cost send ``Accept: application/x-npz`` and get the same
-  result as ``.npz`` bytes (measured ~40× cheaper to encode than the
-  full-grid JSON on this host — PERF.md round 5).
+  result as ``.npz`` bytes (measured 0.49 vs 325 ms/scene to encode a
+  full-grid result vs its float-text JSON — PERF.md round 5).
 - ``GET /stats`` — engine latency/occupancy counters.
 - ``GET /healthz`` — liveness probe (200 once the engine is up).
 
@@ -83,7 +83,7 @@ def make_http_server(engine, host: str = "127.0.0.1", port: int = 0):
             self.wfile.write(body)
 
         def _reply_npz(self, result: dict) -> None:
-            # binary result path: npz encode is ~40× cheaper than the
+            # binary result path: npz encode is ~650× cheaper than the
             # float-text JSON of the same arrays on this host
             buf = io.BytesIO()
             np.savez(buf, **{
