@@ -67,7 +67,8 @@ def main() -> None:
     )["params"]
 
     scenes = [
-        make_raw_scene(rng, s % 2, num_actors=A - 8, num_lanes=L - 16)
+        make_raw_scene(rng, s % 2, num_actors=max(2, A - 8),
+                       num_lanes=max(2, L - 16))
         for s in range(B)
     ]
 
@@ -92,6 +93,10 @@ def main() -> None:
     align_ms = (time.perf_counter() - t0) * 1e3
     pack_scenes(aligned, A, L, use_native=True)  # warm
     reps = 3
+    # NOTE: as_jax=True issues ASYNC device transfers — this times pack +
+    # transfer DISPATCH only; transfer completion lands inside the e2e
+    # numbers below (the relay's ready-flags can't be trusted to close a
+    # per-stage timing, CLAUDE.md)
     t0 = time.perf_counter()
     for _ in range(reps):
         pack_scenes(aligned, A, L, use_native=True)
@@ -101,7 +106,7 @@ def main() -> None:
         pack_scenes(aligned, A, L, use_native=True, as_jax=False)
     pack_host_ms = (time.perf_counter() - t0) / reps * 1e3
     print(json.dumps({"align_ms_per_batch": round(align_ms, 1),
-                      "pack_device_ms_per_batch": round(pack_ms, 1),
+                      "pack_dispatch_ms_per_batch": round(pack_ms, 1),
                       "pack_hostonly_ms_per_batch": round(pack_host_ms, 1)}))
 
     for eng in engines.values():
@@ -158,6 +163,10 @@ def main() -> None:
             buf = io.BytesIO()
             np.savez(buf, **s)
             bodies.append(buf.getvalue())
+        # fresh counters: the A/B phases above already recorded ~40
+        # batches of 128 — without the reset, mean_batch would report
+        # their sizes, not the micro-batcher occupancy under HTTP load
+        engines["slim"].reset_stats()
         server, port = run_http_server(engines["slim"], "127.0.0.1", 0)
         base = f"http://127.0.0.1:{port}/predict"
         stop = time.perf_counter() + args.http_seconds

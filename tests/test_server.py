@@ -13,7 +13,7 @@ import pytest
 from trajsde_tpu.data.synthetic import make_raw_scene, make_scene_batch
 from trajsde_tpu.server import ServingEngine
 
-from test_models_forward import make_sde
+from test_models_forward import make_baseline, make_sde
 
 A, L = 8, 12
 
@@ -65,6 +65,24 @@ def test_predict_is_deterministic_per_counter(engine_setup, rng):
     for a, b in zip(*outs):
         np.testing.assert_array_equal(a["loc"], b["loc"])
         np.testing.assert_array_equal(a["agent_world"], b["agent_world"])
+
+
+def test_baseline_model_serves_through_scan(rng):
+    """The scan engine must serve the baseline (non-SDE) model family too:
+    PredictionModel.__call__ has no `ood` kwarg, so the engine may only
+    forward it when OOD scoring was requested (round-5 regression)."""
+    model = make_baseline()
+    scene = make_scene_batch(np.random.default_rng(0), batch_size=1,
+                             num_actors=A, num_lanes=L)
+    params = jax.jit(model.init)({"params": jax.random.key(0)}, scene)["params"]
+    eng = _mk_engine(model, params)
+    try:
+        (r,) = eng.predict([make_raw_scene(rng, 0, num_actors=5, num_lanes=6)])
+    finally:
+        eng.close()
+    K, Tf = model.decoder.num_modes, model.decoder.future_steps
+    assert r["agent_world"].shape == (K, Tf, 2)
+    assert np.isfinite(r["agent_world"]).all()
 
 
 def test_predict_pipeline_matches_serial(engine_setup, rng):

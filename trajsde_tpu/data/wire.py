@@ -62,12 +62,14 @@ _FIELDS: Tuple[str, ...] = (
 # Schema-drift guard: pack_wire packs exactly _FIELDS, so a field added to
 # SceneBatch but not listed here would be silently dropped on pack and
 # rebuilt as None on unpack — breaking the "exact by construction"
-# contract without any error.  Fail loudly at import time instead.
-assert set(_FIELDS) == set(SceneBatch.__dataclass_fields__), (
-    "data/wire.py _FIELDS is out of sync with SceneBatch: "
-    f"missing={set(SceneBatch.__dataclass_fields__) - set(_FIELDS)} "
-    f"extra={set(_FIELDS) - set(SceneBatch.__dataclass_fields__)}"
-)
+# contract without any error.  Fail loudly at import time instead —
+# an explicit raise, not `assert`, so `python -O` cannot strip the guard.
+if set(_FIELDS) != set(SceneBatch.__dataclass_fields__):
+    raise RuntimeError(
+        "data/wire.py _FIELDS is out of sync with SceneBatch: "
+        f"missing={set(SceneBatch.__dataclass_fields__) - set(_FIELDS)} "
+        f"extra={set(_FIELDS) - set(SceneBatch.__dataclass_fields__)}"
+    )
 
 
 @struct.dataclass

@@ -48,14 +48,18 @@ import numpy as np
 MAX_BODY_BYTES = 64 * 2**20
 
 
+def _cast(v):
+    # bf16 (ml_dtypes) values are neither json-serializable nor
+    # npz-portable; any non-integer payload goes through float32 first.
+    # ONE policy shared by the JSON and npz reply paths.
+    a = np.asarray(v)
+    return a.astype(np.float32) if a.dtype.kind not in "iub" else a
+
+
 def _json_ready(result):
     out = {}
     for k, v in result.items():
-        a = np.asarray(v)
-        if a.dtype.kind not in "iub":
-            # bf16 (ml_dtypes) scalars are not json-serializable; any
-            # non-integer payload goes through float32 first
-            a = a.astype(np.float32)
+        a = _cast(v)
         out[k] = a.tolist() if a.ndim else a.item()
     return out
 
@@ -86,11 +90,7 @@ def make_http_server(engine, host: str = "127.0.0.1", port: int = 0):
             # binary result path: npz encode is ~650× cheaper than the
             # float-text JSON of the same arrays on this host
             buf = io.BytesIO()
-            np.savez(buf, **{
-                k: np.asarray(v, np.float32)
-                if np.asarray(v).dtype.kind not in "iub" else np.asarray(v)
-                for k, v in result.items()
-            })
+            np.savez(buf, **{k: _cast(v) for k, v in result.items()})
             body = buf.getvalue()
             self.send_response(200)
             self.send_header("Content-Type", "application/x-npz")

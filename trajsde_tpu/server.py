@@ -340,11 +340,17 @@ class ServingEngine:
             self._params = params
             post = make_postprocess(self.is_gtabs, self._ref_time, slim=slim)
 
+            # only SDE-family models take an `ood` kwarg — the baseline
+            # PredictionModel.__call__ has no OOD ensemble (same pattern
+            # as test.py); ood=True was already rejected above for
+            # encoders without forward_ood
+            kwargs = {"ood": True} if ood else {}
+
             @jax.jit
             def _fwd(scene, key_data):
                 key = jax.random.wrap_key_data(key_data)
-                out = model.apply({"params": params}, scene, ood=ood,
-                                  rngs={"sde": key})
+                out = model.apply({"params": params}, scene,
+                                  rngs={"sde": key}, **kwargs)
                 return post(scene, out)
 
             self._serve = _fwd
@@ -461,6 +467,15 @@ class ServingEngine:
                 ),
                 "scenes_per_sec": (self._served / span) if span else None,
             }
+
+    def reset_stats(self) -> None:
+        """Zero the latency/occupancy counters (e.g. between benchmark
+        phases, so one phase's batches don't pollute the next's stats)."""
+        with self._lock:
+            self._latencies.clear()
+            self._batch_sizes.clear()
+            self._t_first = self._t_last = None
+            self._served = 0
 
     def close(self) -> None:
         with self._submit_lock:
