@@ -321,6 +321,26 @@ def test_micro_batcher_groups_and_stats(engine_setup, rng):
         eng.submit(scenes[0])
 
 
+def test_cancelled_future_does_not_kill_worker(engine_setup, rng):
+    """A caller cancelling its queued Future must not race the worker's
+    set_result into an InvalidStateError that kills the worker thread
+    (round-5 review finding): later submissions must still resolve."""
+    model, params = engine_setup
+    eng = _mk_engine(model, params, max_wait_ms=1.0)
+    scene = make_raw_scene(rng, 0, num_actors=5, num_lanes=6)
+    eng.warmup(scene)
+    try:
+        for _ in range(10):  # race the worker from both queue states
+            f = eng.submit(scene)
+            f.cancel()
+        survivor = eng.submit(scene)
+        r = survivor.result(timeout=120)  # worker alive → this resolves
+        assert np.isfinite(r["agent_world"]).all()
+        assert eng._worker.is_alive()
+    finally:
+        eng.close()
+
+
 def test_sharded_serving_matches_unsharded(engine_setup, rng):
     """shard=True partitions each bucket over the data mesh; results must be
     bit-comparable to the single-device path (same key counter → same noise),
@@ -484,6 +504,17 @@ def test_http_endpoint(engine_setup, rng):
         with pytest.raises(urllib.error.HTTPError) as ei:
             urllib.request.urlopen(req, timeout=30)
         assert ei.value.code == 413
+        # a VALID npz holding a malformed scene is the client's error too
+        # (submit() validates synchronously → 400, not 500)
+        buf = io.BytesIO()
+        np.savez(buf, not_a_scene=np.zeros(3))
+        req = urllib.request.Request(
+            f"{base}/predict", data=buf.getvalue(),
+            headers={"Content-Type": "application/octet-stream"},
+        )
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=30)
+        assert ei.value.code == 400
         assert post_scene(0)["agent_pi"]  # still serving after errors
     finally:
         server.shutdown()

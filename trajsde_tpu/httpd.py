@@ -115,6 +115,12 @@ def make_http_server(engine, host: str = "127.0.0.1", port: int = 0):
             except ValueError:
                 self._reply(400, {"error": "bad Content-Length"})
                 return
+            if n < 0:
+                # rfile.read(-1) means read-until-EOF — a negative length
+                # would bypass the size bound below and let a client
+                # stream unbounded data into memory
+                self._reply(400, {"error": "bad Content-Length"})
+                return
             if n > MAX_BODY_BYTES:
                 self._reply(413, {"error": (
                     f"body of {n} bytes exceeds the {MAX_BODY_BYTES}-byte "
@@ -135,9 +141,17 @@ def make_http_server(engine, host: str = "127.0.0.1", port: int = 0):
                 self._reply(400, {"error": f"bad request: {e!r}"})
                 return
             try:
+                # submit() validates/aligns the scene SYNCHRONOUSLY — a
+                # malformed scene (missing keys, bad shapes) raises here
+                # and is the CLIENT's error, not a server failure
+                fut = engine.submit(scene)
+            except Exception as e:
+                self._reply(400, {"error": f"bad scene: {e!r}"})
+                return
+            try:
                 # park on the future: the engine's micro-batcher groups
                 # this with every other thread currently waiting
-                result = engine.submit(scene).result()
+                result = fut.result()
                 accept = (self.headers.get("Accept") or "").lower()
                 if "application/x-npz" in accept:
                     self._reply_npz(result)

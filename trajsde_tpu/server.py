@@ -80,6 +80,19 @@ from trajsde_tpu.data.grid import NUS_SCALE, align_to_grid
 from trajsde_tpu.data.pack import pack_scenes, pick_bucket
 
 
+def _set_future(f: Future, result=None, exc=None) -> None:
+    """Resolve a RUNNING future, tolerating a concurrent cancel: an
+    InvalidStateError here must never escape into (and kill) the
+    micro-batch worker thread."""
+    try:
+        if exc is not None:
+            f.set_exception(exc)
+        else:
+            f.set_result(result)
+    except Exception:  # cancelled/already-done: the caller walked away
+        pass
+
+
 def derive_key_data(seed: int, counter: int, shape) -> np.ndarray:
     """Host-side deterministic PRNG key material for (seed, counter).
 
@@ -453,9 +466,11 @@ class ServingEngine:
     def stats(self) -> Dict[str, float]:
         with self._lock:
             lat = np.asarray(self._latencies, np.float64) * 1e3
+            # span runs first DISPATCH → last collect, so it covers every
+            # served batch's full service time (valid from one batch on)
             span = (
                 (self._t_last - self._t_first)
-                if self._served > 1 and self._t_last and self._t_first
+                if self._served > 0 and self._t_last and self._t_first
                 else None
             )
             return {
@@ -481,7 +496,15 @@ class ServingEngine:
         with self._submit_lock:
             self._closed = True
         self._q.put(None)
-        self._worker.join(timeout=30)
+        # a worker mid-batch may be compiling a NEW bucket shape — 40-260 s
+        # per executable through the remote TPU compile helper (CLAUDE.md)
+        # — so the join budget must cover a compile, not just a step
+        self._worker.join(timeout=600)
+        if self._worker.is_alive():
+            # genuinely stuck: leave the sentinel for it and return without
+            # draining (stealing the sentinel here would strand the worker
+            # in q.get() forever and fail requests it is still serving)
+            return
         # fail anything still enqueued (items that slipped in between the
         # worker's sentinel exit and the flag flip) instead of leaving
         # their futures to hang forever
@@ -506,13 +529,24 @@ class ServingEngine:
         self, aligned_scenes: List[Tuple[Dict, int]], record: bool = True
     ) -> List[Dict]:
         return self._collect_batch(
-            aligned_scenes, self._dispatch_batch(aligned_scenes), record
+            aligned_scenes, self._dispatch_batch(aligned_scenes, record),
+            record,
         )
 
-    def _dispatch_batch(self, aligned_scenes: List[Tuple[Dict, int]]):
+    def _dispatch_batch(self, aligned_scenes: List[Tuple[Dict, int]],
+                        record: bool = True):
         """Pack and dispatch one batch; returns the in-flight device
         results WITHOUT blocking (JAX dispatch is async) so a caller can
         overlap the next batch's host stages with this one's compute."""
+        if record:
+            # the throughput span must start at the FIRST batch's
+            # dispatch, not its collect — stamping t_first at collect
+            # excludes the first batch's service time from the span and
+            # overstates scenes_per_sec for short runs
+            now = time.perf_counter()
+            with self._lock:
+                if self._t_first is None:
+                    self._t_first = now
         n = len(aligned_scenes)
         bucket = pick_bucket(n, self.buckets)
         aligned = [a for a, _ in aligned_scenes]
@@ -521,9 +555,14 @@ class ServingEngine:
         # when its library is built (same default as the training loader;
         # measured 63→38 ms per 128-scene bucket on this host)
         padded = aligned + [aligned[-1]] * (bucket - n)
+        # sharded buckets pack to NUMPY and transfer once inside
+        # shard_batch's sharded device_put — as_jax=True here would first
+        # ship the whole batch to device 0 and then re-place it (the same
+        # double-transfer the training loader avoids, data/loader.py)
+        sharded = bucket in self._meshes
         scene = pack_scenes(padded, self.num_actors, self.num_lanes,
-                            use_native=True)
-        if bucket in self._meshes:
+                            use_native=True, as_jax=not sharded)
+        if sharded:
             scene = self._mesh_lib.shard_batch(scene, self._meshes[bucket])
         # everything random is derived host-side from (seed, counter): the
         # hot path dispatches exactly ONE device computation per batch
@@ -555,9 +594,7 @@ class ServingEngine:
             with self._lock:
                 self._batch_sizes.append(n)
                 self._served += n
-                if self._t_first is None:
-                    self._t_first = now
-                self._t_last = now
+                self._t_last = now  # t_first stamped at dispatch
         results = []
         for i in range(n):
             r = {
@@ -593,6 +630,14 @@ class ServingEngine:
                     self._q.put(None)  # re-post the sentinel for shutdown
                     break
                 batch.append(nxt)
+            # transition every future to RUNNING before compute: after
+            # this point a caller's cancel() can no longer succeed, so
+            # set_result/set_exception below cannot race it into an
+            # InvalidStateError that would kill this worker thread.
+            # Futures cancelled while queued are dropped from the batch.
+            batch = [b for b in batch if b[1].set_running_or_notify_cancel()]
+            if not batch:
+                continue
             scenes = [b[0] for b in batch]
             futs = [b[1] for b in batch]
             starts = [b[2] for b in batch]
@@ -600,12 +645,10 @@ class ServingEngine:
                 results = self._run_batch(scenes)
             except Exception as e:  # propagate to every waiting caller
                 for f in futs:
-                    if not f.done():
-                        f.set_exception(e)
+                    _set_future(f, exc=e)
                 continue
             done = time.perf_counter()
             with self._lock:
                 self._latencies.extend(done - s for s in starts)
             for f, r in zip(futs, results):
-                if not f.done():  # caller may have cancelled the future
-                    f.set_result(r)
+                _set_future(f, result=r)
